@@ -1,0 +1,60 @@
+"""Engine configuration (config-as-data, reference analog:
+``entity_aliases.json`` + predicate vocabulary +.env,
+``/root/reference/pipeline/triple_extraction.py:75-100``)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    # --- blocking ---------------------------------------------------------
+    minhash_num_perm: int = 128
+    minhash_bands: int = 32
+    minhash_seed: int = 42
+    shingle_k: int = 3
+    content_token_cap: int = 2000
+    block_cap: int = 64          # max rows of a block before salted splitting
+    max_pairs_per_block: int = 4096  # hard ceiling after splitting (metrics-counted)
+
+    # --- scoring (reference: confidence >= 0.7 gate,
+    #     /root/reference/pipeline/link_entities.py:57) -------------------
+    w_jw: float = 0.30           # Jaro-Winkler on normalized path stems
+    w_tj: float = 0.35           # token-Jaccard on identifier sets
+    w_lev: float = 0.35          # Levenshtein similarity on truncated content
+    score_threshold: float = 0.70
+
+    # --- execution --------------------------------------------------------
+    batch_size: int = 2048
+    pair_batch_size: int = 8192
+    scorer_concurrency: int = 4  # actor-pool size; override per run
+    join_partitions: int = 32
+    max_cluster_rounds: int = 12
+
+    # --- checkpointing ----------------------------------------------------
+    checkpoint_dir: str | None = None
+
+    def scaled(self, num_cpus: int) -> "ERConfig":
+        """Derive per-run pool sizing from the session CPU budget.
+
+        ``join_partitions`` stays below the CPU count: Ray's JoinOperator
+        allocates one aggregator actor per partition, and a partition count
+        above the CPU budget deadlocks the streaming executor while the
+        upstream map stage still holds its slots (observed on 2.49).
+        """
+        from dataclasses import replace
+
+        return replace(
+            self,
+            scorer_concurrency=max(2, num_cpus // 2),
+            join_partitions=max(2, min(num_cpus // 2, 16)),
+        )
+
+
+def auto_config() -> "ERConfig":
+    """ERConfig sized to the already-initialised Ray session."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return ERConfig().scaled(ncpu)

@@ -1,0 +1,135 @@
+"""The flagship three-stage record-linkage pipeline (SURVEY.md §7).
+
+    read_parquet(corpus)
+      -> normalize            (map_batches, Arrow, stateless)
+      -> candidate_pairs      (actor-pool key explosion, salted groupby,
+                               capped pair generation, cross-key dedup)
+      -> score_pairs          (hash joins vs compact features + DuckDB scorer
+                               actor pool; sha short-circuit path)
+      -> match_edges          (score >= threshold)
+      -> propagate_labels     (iterative hash-partitioned min-label union-find)
+      -> assignments          (left join: every row gets a canonical id)
+
+Every stage optionally checkpoints through ``CheckpointManager`` (per-stage
+fingerprint = input files + config), so a killed run resumes at the first
+incomplete stage — the reference's watermark semantics
+(``/root/reference/pipeline/bulk_process.py:83-99``) at stage/partition grain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+from dataclasses import dataclass
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..config import ERConfig
+from ..stages.blocking import candidate_pairs
+from ..stages.clustering import assignments, propagate_labels
+from ..stages.normalize import features_view, normalize
+from ..stages.scoring import match_edges, score_pairs
+from ..state.checkpoint import CheckpointManager, input_fingerprint
+
+STAGE_ORDER = ["features", "pairs", "scores", "edges", "labels", "assignments"]
+
+
+@dataclass
+class ERResult:
+    assignments: "ray.data.Dataset"
+    edges: "ray.data.Dataset"
+    scores: "ray.data.Dataset"
+    pairs: "ray.data.Dataset"
+    features: "ray.data.Dataset"
+    metrics: dict
+
+
+def _cfg_fingerprint_extra(cfg: ERConfig) -> str:
+    return repr(dataclasses.asdict(cfg))
+
+
+def run_er_pipeline(
+    corpus_path: str,
+    cfg: ERConfig | None = None,
+    checkpoint_dir: str | None = None,
+) -> ERResult:
+    if cfg is None:
+        from ..config import auto_config
+
+        cfg = auto_config()
+    paths = sorted(glob.glob(corpus_path)) if any(
+        ch in corpus_path for ch in "*?["
+    ) else [corpus_path]
+    fp = input_fingerprint(paths, _cfg_fingerprint_extra(cfg))
+    ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    metrics: dict = {}
+
+    def stage(name: str, build):
+        """Compute-or-load with lineage truncation at each stage boundary.
+
+        With a checkpoint dir, outputs land in per-partition Parquet and are
+        re-read (resume path). Without one, outputs are materialized in the
+        object store — stage outputs here are compact (ids, keys, scores,
+        labels; never ``content``), so pinning them avoids re-executing the
+        whole upstream lineage every time a downstream consumer runs.
+        """
+        if ckpt is not None and ckpt.is_done(name, fp):
+            metrics[name] = {"resumed": True}
+            return ckpt.load(name)
+        ds = build()
+        if ckpt is not None:
+            ds = ckpt.save(name, ds, fp)
+            metrics[name] = {"resumed": False, "rows": ckpt.manifest["stages"][name]["rows"]}
+        else:
+            ds = ds.materialize()
+        return ds
+
+    corpus = ray.data.read_parquet(paths)
+    norm = normalize(corpus, batch_size=cfg.batch_size)
+
+    features = stage("features", lambda: features_view(norm))
+    pairs = stage("pairs", lambda: candidate_pairs(
+        # blocking needs content for shingling: re-derive from corpus when not
+        # resuming; when features resumed, normalize() recomputes lazily and
+        # Ray only executes what the pairs stage actually consumes.
+        norm, cfg
+    ))
+    scores = stage("scores", lambda: score_pairs(pairs, features, cfg))
+    edges = stage("edges", lambda: match_edges(scores, cfg))
+    labels = stage("labels", lambda: propagate_labels(edges, cfg))
+    assign = stage(
+        "assignments",
+        lambda: assignments(features.select_columns(["file_id"]), labels, cfg),
+    )
+
+    if ckpt is not None:
+        metrics["stages"] = ckpt.stage_metrics()
+    return ERResult(
+        assignments=assign,
+        edges=edges,
+        scores=scores,
+        pairs=pairs,
+        features=features,
+        metrics=metrics,
+    )
+
+
+def match_metrics(result: ERResult) -> dict:
+    """Run-summary counters (reference analog: linked/unlinked/low-conf
+    tallies, ``/root/reference/pipeline/link_entities.py:760-786``)."""
+    n_pairs = result.pairs.count()
+    n_edges = result.edges.count()
+    n_rows = result.features.count()
+    clusters = (
+        result.assignments.groupby("canonical_file_id")
+        .aggregate(Count(alias_name="sz"))
+    )
+    multi = clusters.filter(lambda r: r["sz"] > 1).count()
+    return {
+        "rows": n_rows,
+        "candidate_pairs": n_pairs,
+        "match_edges": n_edges,
+        "match_rate": (n_edges / n_pairs) if n_pairs else 0.0,
+        "multi_clusters": multi,
+    }

@@ -1,0 +1,219 @@
+"""Stage 1 — blocking: key derivation, salted groupby shuffle, pair generation.
+
+Reference semantic carried over (not the mechanism): "same normalized string
+=> same node" (``/root/reference/pipeline/common.py:29-36``) generalized to
+three key families, plus the min-sessions frequency idea "don't work on
+singletons" (``/root/reference/pipeline/link_entities.py:857-879``) as the
+singleton-block drop, plus explicit skew handling (SURVEY.md §7.4 hard part 1).
+
+Key families per scorable row:
+
+- ``sha:<content_sha256[:16]>``      exact-content block (score-1.0 fast path)
+- ``stem:<lang>:<stem_norm>``        normalized path-stem block
+- ``mh:<band>:<hash>``               MinHash-LSH band blocks over content
+                                     shingles (near-duplicate recall)
+
+Physical plan (all Ray Data, no driver loops over rows):
+
+1. ``map_batches(KeyExploder)``  — actor pool (MinHasher permutation tables
+   built once per actor) -> (block_key, file_id) rows.
+2. block-size census: ``groupby(block_key).count()`` (keys+ids only — tiny
+   rows through the shuffle); keys above ``block_cap`` become a broadcast
+   hot-key -> n_chunks dict (``ray.put`` once, read per task).
+3. salt pass: hot keys get ``#<crc32(file_id) % n_chunks>`` appended.
+4. ``groupby(salted_key).map_groups(pairs_in_block)`` -> candidate pairs,
+   capped per block with truncation *counted* (mirrors the reference's
+   counted filters, ``link_entities.py:760-773``).
+5. cross-key dedup: ``groupby(pair_key).aggregate(Min(route), Min(block_key))``
+   so each unordered pair is scored once; ``route==0`` marks pairs backed by
+   an exact-sha block (short-circuit to score 1.0 without feature join).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from ..config import ERConfig
+from ..functions.minhash import MinHasher
+from ..functions.text import content_tokens, token_shingles
+
+
+class KeyExploder:
+    """Actor-pool batch fn: one corpus row -> ~2 + bands (block_key, file_id) rows.
+
+    Stateful: MinHash permutation tables + config built once per actor
+    (reference analog: per-worker client construction,
+    ``/root/reference/pipeline/llm_providers.py:65-228``).
+    """
+
+    def __init__(self, cfg: ERConfig):
+        self.cfg = cfg
+        self.mh = MinHasher(cfg.minhash_num_perm, cfg.minhash_bands, cfg.minhash_seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fids = batch.column("file_id").to_pylist()
+        shas = batch.column("content_sha256").to_pylist()
+        langs = batch.column("lang_norm").to_pylist()
+        stems = batch.column("stem_norm").to_pylist()
+        contents = batch.column("content").to_pylist()
+        scorable = batch.column("scorable").to_pylist()
+
+        keys: list[str] = []
+        out_ids: list[str] = []
+        for i in range(len(fids)):
+            if not scorable[i]:
+                continue
+            fid = fids[i]
+            keys.append(f"sha:{shas[i][:16]}")
+            out_ids.append(fid)
+            if stems[i]:
+                keys.append(f"stem:{langs[i]}:{stems[i]}")
+                out_ids.append(fid)
+            toks = content_tokens(contents[i], cap=self.cfg.content_token_cap)
+            sig = self.mh.signature(token_shingles(toks, self.cfg.shingle_k))
+            for bk in self.mh.band_keys(sig):
+                keys.append(f"mh:{bk}")
+                out_ids.append(fid)
+        return pa.table(
+            {"block_key": pa.array(keys, pa.string()),
+             "file_id": pa.array(out_ids, pa.string())}
+        )
+
+
+def derive_block_keys(norm_ds: "ray.data.Dataset", cfg: ERConfig) -> "ray.data.Dataset":
+    return norm_ds.map_batches(
+        KeyExploder,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.scorer_concurrency,
+        num_cpus=1,
+    )
+
+
+def hot_key_census(keys_ds: "ray.data.Dataset", cfg: ERConfig) -> dict[str, int]:
+    """Block-size accounting; returns only keys above the cap (small dict).
+
+    The census shuffle moves (key, id) rows only — never content — so it is
+    cheap even at 10^12 rows; the hot dict is tiny (heavy-hitter keys only)
+    and safe to broadcast via ``ray.put``.
+    """
+    sizes = keys_ds.groupby("block_key").aggregate(Count(alias_name="n"))
+    hot = sizes.filter(lambda r: r["n"] > cfg.block_cap)  # tiny result
+    out: dict[str, int] = {}
+    for row in hot.iter_rows():
+        out[row["block_key"]] = int(np.ceil(row["n"] / cfg.block_cap))
+    return out
+
+
+def _salt_batch_factory(hot_ref, cfg: ERConfig):
+    def salt(batch: pa.Table) -> pa.Table:
+        hot: dict[str, int] = ray.get(hot_ref) if hot_ref is not None else {}
+        keys = batch.column("block_key").to_pylist()
+        fids = batch.column("file_id").to_pylist()
+        salted = []
+        for k, f in zip(keys, fids):
+            n = hot.get(k)
+            if n:
+                salted.append(f"{k}#{zlib.crc32(f.encode()) % n}")
+            else:
+                salted.append(k)
+        return pa.table(
+            {"block_key": pa.array(salted, pa.string()),
+             "file_id": pa.array(fids, pa.string())}
+        )
+
+    return salt
+
+
+def pairs_in_block_factory(cfg: ERConfig):
+    """Grouped pair generation with a hard per-block pair ceiling."""
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["file_id"].tolist()))
+        a_out: list[str] = []
+        b_out: list[str] = []
+        truncated = 0
+        if len(ids) >= 2:  # singleton-block drop (frequency-filter analog)
+            cap = cfg.max_pairs_per_block
+            for i in range(len(ids) - 1):
+                if len(a_out) >= cap:
+                    truncated += (len(ids) - 1 - i) * (len(ids) - i) // 2
+                    break
+                for j in range(i + 1, len(ids)):
+                    if len(a_out) >= cap:
+                        truncated += 1
+                        continue
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        key = g["block_key"].iloc[0] if len(a_out) else ""
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(a_out, dtype="string"),
+                "id_b": pd.Series(b_out, dtype="string"),
+                "block_key": pd.Series([key] * len(a_out), dtype="string"),
+                "truncated": np.full(len(a_out), truncated, dtype=np.int64),
+            }
+        )
+
+    return pairs_in_block
+
+
+def candidate_pairs(
+    norm_ds: "ray.data.Dataset", cfg: ERConfig
+) -> "ray.data.Dataset":
+    """Full blocking stage: returns deduped pairs
+    ``(id_a, id_b, block_key, route)`` where route==0 means sha-backed."""
+    keys = derive_block_keys(norm_ds, cfg)
+    # census + salting need two passes over keys — materialize once (ids+keys
+    # only; tiny blocks relative to the corpus)
+    keys = keys.materialize()
+    hot = hot_key_census(keys, cfg)
+    hot_ref = ray.put(hot) if hot else None
+    salted = keys.map_batches(
+        _salt_batch_factory(hot_ref, cfg), batch_format="pyarrow",
+        batch_size=cfg.pair_batch_size,
+    )
+    raw_pairs = salted.groupby("block_key").map_groups(
+        pairs_in_block_factory(cfg), batch_format="pandas"
+    )
+
+    def add_route(batch: pa.Table) -> pa.Table:
+        keys = batch.column("block_key").to_pylist()
+        ids_a = batch.column("id_a").to_pylist()
+        ids_b = batch.column("id_b").to_pylist()
+        route = [0 if k.startswith("sha:") else 1 for k in keys]
+        pair_key = [f"{a}|{b}" for a, b in zip(ids_a, ids_b)]
+        return batch.append_column("route", pa.array(route, pa.int32())).append_column(
+            "pair_key", pa.array(pair_key, pa.string())
+        )
+
+    routed = raw_pairs.map_batches(add_route, batch_format="pyarrow",
+                                   batch_size=cfg.pair_batch_size)
+    deduped = routed.groupby("pair_key").aggregate(
+        Min("route", alias_name="route"), Min("block_key", alias_name="block_key")
+    )
+
+    def split_pair_key(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pair_key").to_pylist()
+        a = [s.split("|", 1)[0] for s in pk]
+        b = [s.split("|", 1)[1] for s in pk]
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.string()),
+                "id_b": pa.array(b, pa.string()),
+                "block_key": batch.column("block_key"),
+                "route": batch.column("route"),
+            }
+        )
+
+    return deduped.map_batches(split_pair_key, batch_format="pyarrow",
+                               batch_size=cfg.pair_batch_size)

@@ -1,0 +1,76 @@
+"""Stage-2 tests: the scorer actor class is smoked directly (actor __init__
+errors surface late inside Ray — unit-test the callable, per ray_guide)."""
+
+import pyarrow as pa
+
+from session_graph_ray.config import ERConfig
+from session_graph_ray.stages.scoring import PairScorer
+
+
+def _pair_batch(rows):
+    cols = {
+        "id_a": [], "id_b": [], "block_key": [],
+        "sha_a": [], "sha_b": [], "stem_a": [], "stem_b": [],
+        "tokens_a": [], "tokens_b": [], "trunc_a": [], "trunc_b": [],
+    }
+    for r in rows:
+        for k in cols:
+            cols[k].append(r[k])
+    return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+
+
+def test_exact_sha_short_circuit():
+    b = _pair_batch([
+        dict(id_a="a", id_b="b", block_key="sha:x",
+             sha_a="h1", sha_b="h1", stem_a="totally", stem_b="different",
+             tokens_a="", tokens_b="", trunc_a="x", trunc_b="zzzz")
+    ])
+    out = PairScorer(ERConfig())(b).to_pydict()
+    assert out["score"] == [1.0]
+    assert out["jw"] == [1.0] and out["tj"] == [1.0]
+
+
+def test_near_duplicate_scores_above_threshold():
+    toks = "\x1f".join(sorted({"alpha", "beta", "gamma", "delta", "epsilon",
+                               "zeta", "eta", "theta", "iota", "kappa"}))
+    toks_edit = "\x1f".join(sorted({"alpha", "beta", "gamma", "delta", "epsilon",
+                                    "zeta", "eta", "theta", "iota", "lambda"}))
+    content = "def alpha(beta):\n    return gamma + delta\n" * 4
+    content_edit = content.replace("delta", "felta", 1)
+    b = _pair_batch([
+        dict(id_a="a", id_b="b", block_key="stem:python:auth token",
+             sha_a="h1", sha_b="h2", stem_a="auth token", stem_b="auth tokens",
+             tokens_a=toks, tokens_b=toks_edit,
+             trunc_a=content[:256], trunc_b=content_edit[:256])
+    ])
+    out = PairScorer(ERConfig())(b).to_pydict()
+    assert out["score"][0] >= 0.7
+
+
+def test_unrelated_pair_scores_below_threshold():
+    b = _pair_batch([
+        dict(id_a="a", id_b="b", block_key="stem:python:init",
+             sha_a="h1", sha_b="h2", stem_a="init", stem_b="init",
+             tokens_a="\x1f".join(["aa", "bb", "cc", "dd"]),
+             tokens_b="\x1f".join(["ww", "xx", "yy", "zz"]),
+             trunc_a="import os\nAA = 1\nBB = 2\n",
+             trunc_b="class Widget:\n    def render(self): ...\n")
+    ])
+    out = PairScorer(ERConfig())(b).to_pydict()
+    assert out["score"][0] < 0.7
+
+
+def test_empty_tokens_no_false_jaccard():
+    b = _pair_batch([
+        dict(id_a="a", id_b="b", block_key="stem:python:x",
+             sha_a="h1", sha_b="h2", stem_a="x", stem_b="x",
+             tokens_a="", tokens_b="", trunc_a="foo", trunc_b="bar")
+    ])
+    out = PairScorer(ERConfig())(b).to_pydict()
+    assert out["tj"] == [0.0]
+
+
+def test_empty_batch():
+    cfg = ERConfig()
+    out = PairScorer(cfg)(_pair_batch([]))
+    assert out.num_rows == 0
