@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing in
+here (or in ``session_graph_ray``) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps operator names (SURVEY.md §2 inventory + training-data
+extensions) to callables taking ``sf_dir``; ``oracle_sql()`` holds the DuckDB
+equivalent for every SQL-expressible query, with matching column names.
+Money/quantity columns use the shared integer-cents contract
+``floor(x*100+0.5)`` so value hashes are exact on both sides.
 """
 
 from __future__ import annotations
@@ -20,25 +17,271 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship three-stage flow (blocking -> scoring -> transitive
+    clustering) applied to sf0.001 documents: MinHash-LSH near-dedup
+    assignments. Returns (doc_id, canonical_doc_id) for every document."""
+    import ray.data as rd
+
+    from session_graph_ray.ops.dedup import near_dedup_assignments
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    return near_dedup_assignments(docs, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# rows-only (non-SQL-expressible) queries
+# --------------------------------------------------------------------------
+
+
+_ER_CACHE: dict[str, Any] = {}
+
+
+def _er_result(sf_dir: str):
+    """Flagship ER pipeline over the deterministic synthetic corpus (the
+    BASELINE.json input shape); sf_dir selects scale: sf0.001->tiny else small.
+    Cached per size (stage outputs are materialized) so multiple queries()
+    entries don't re-run the pipeline."""
+    from session_graph_ray.fixtures import ensure_corpus
+    from session_graph_ray.pipelines.er import run_er_pipeline
+
+    size = "tiny" if "0.001" in sf_dir else "small"
+    if size not in _ER_CACHE:
+        d = ensure_corpus(size)
+        _ER_CACHE[size] = run_er_pipeline(f"{d}/corpus.parquet")
+    return _ER_CACHE[size]
+
+
+def _q_er_assignments(sf_dir: str):
+    return _er_result(sf_dir).assignments
+
+
+def _q_er_match_edges(sf_dir: str):
+    return _er_result(sf_dir).edges.select_columns(["id_a", "id_b", "score"])
+
+
+def _q_near_dedup_docs(sf_dir: str):
+    import ray.data as rd
+
+    from session_graph_ray.ops.dedup import near_dedup_assignments
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return near_dedup_assignments(docs, threshold=0.8)
+
+
+def _q_simhash_docs(sf_dir: str):
+    import ray.data as rd
+
+    from session_graph_ray.ops.dedup import simhash_fingerprints
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_fingerprints(docs)
+
+
+def _q_doc_quality(sf_dir: str):
+    import ray.data as rd
+
+    from session_graph_ray.ops.textstats import quality_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_scores(docs)
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from session_graph_ray.ops.textstats import rolling_fingerprint
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return rolling_fingerprint(docs)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    """The testdata embeddings are random (max pairwise cosine < 0.5), so
+    near-dup targets are planted deterministically: exact copies of the first
+    16 vectors under vec_id+1_000_000 — the operator must recover exactly
+    those 16 pairs at cosine 1.0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from session_graph_ray.ops.dedup import embedding_near_dup_pairs
+
+    base = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    head = base.slice(0, 16)
+    copies = pa.table(
+        {
+            "vec_id": pa.compute.add(head.column("vec_id"), 1_000_000),
+            "embedding": head.column("embedding"),
+        }
+    )
+    emb = rd.from_arrow(pa.concat_tables([base, copies.cast(base.schema)]))
+    pairs = embedding_near_dup_pairs(emb, threshold=0.95)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def _q_knn_ivf(sf_dir: str):
+    import numpy as np
+    import ray.data as rd
+
+    from session_graph_ray.ops.similarity import ivf_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qrows = sorted(emb.filter(lambda r: r["vec_id"] < 5).take(5),
+                   key=lambda r: r["vec_id"])
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    return ivf_topk(emb, queries, [int(r["vec_id"]) for r in qrows], k=10)
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from session_graph_ray.ops.multimodal import (
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_media_table(n=64))
+    return extract_media_features(media)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from session_graph_ray.pipelines import analytics as A
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-checked analytics (SURVEY.md §2.7/2.8 shapes)
+        "pricing_summary": A.q_pricing_summary,
+        "revenue_filter": A.q_revenue_filter,
+        "top_customers": A.q_top_customers,
+        "region_sales": A.q_region_sales,
+        "part_brand_volume": A.q_part_brand_volume,
+        "event_type_users": A.q_event_type_users,
+        "events_daily": A.q_events_daily,
+        "sessionize_users": A.q_sessionize_users,
+        "doc_token_stats": A.q_doc_token_stats,
+        "doc_substring": A.q_doc_substring,
+        "exact_dedup_docs": A.q_exact_dedup_docs,
+        "knn_bruteforce": A.q_knn_bruteforce,
+        # rows-only pipelines (non-SQL-expressible)
+        "er_assignments": _q_er_assignments,
+        "er_match_edges": _q_er_match_edges,
+        "near_dedup_docs": _q_near_dedup_docs,
+        "simhash_docs": _q_simhash_docs,
+        "doc_quality": _q_doc_quality,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "knn_ivf": _q_knn_ivf,
+        "media_features": _q_media_features,
+    }
+
+
+_CENTS = "CAST(FLOOR({x}*100+0.5) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM({_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_c,
+                   CAST(SUM({_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sum_base_price_c,
+                   CAST(SUM({_CENTS.format(x='l_extendedprice*(1.0-l_discount)')}) AS BIGINT) AS sum_disc_price_c,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_filter": f"""
+            SELECT CAST(SUM({_CENTS.format(x='l_extendedprice*l_discount')}) AS BIGINT) AS revenue_c
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "top_customers": f"""
+            SELECT c.c_custkey, c.c_name,
+                   CAST(SUM({_CENTS.format(x='o.o_totalprice')}) AS BIGINT) AS total_spent_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name
+            ORDER BY total_spent_c DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "region_sales": f"""
+            SELECT r.r_name,
+                   CAST(SUM({_CENTS.format(x='o.o_totalprice')}) AS BIGINT) AS total_sales_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "part_brand_volume": f"""
+            SELECT p.p_brand,
+                   CAST(SUM({_CENTS.format(x='l.l_quantity')}) AS BIGINT) AS sum_qty_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        "event_type_users": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY event_type
+        """,
+        "events_daily": f"""
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS sum_value_c
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "sessionize_users": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM gaps GROUP BY user_id
+        """,
+        "doc_token_stats": r"""
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "doc_substring": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents WHERE contains(text, 'the')
+            GROUP BY lang
+        """,
+        "exact_dedup_docs": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+            FROM documents GROUP BY text
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+            ),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id FROM sims
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) <= 10
+        """,
+    }

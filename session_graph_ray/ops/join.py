@@ -1,0 +1,167 @@
+"""Join helpers (SURVEY.md §2.6).
+
+- ``broadcast_join``: small side shipped once via ``ray.put`` and merged per
+  batch — the reference's alias-table lookup pattern
+  (``/root/reference/pipeline/link_entities.py:270-277``) generalized. No
+  shuffle; right side must fit in one worker's heap.
+- ``hash_join``: both sides large — Ray's hash-partitioned ``Dataset.join``
+  with partition count capped below the CPU budget (aggregator-actor
+  deadlock guard, see .claude/skills/verify/SKILL.md gotchas).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def rename_batches(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Dataset":
+    """Rename columns via a real map_batches transform.
+
+    ``Dataset.rename_columns`` is a projection op that Ray 2.49's planner can
+    drop when the dataset's lineage already contains a hash-shuffle join and
+    the result feeds another join (observed: acero raises "No match or
+    multiple matches for key field reference" because blocks still carry the
+    old names). A map_batches rewrite cannot be elided.
+    """
+
+    def f(t):
+        return t.rename_columns([mapping.get(n, n) for n in t.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def broadcast_join(
+    left: "ray.data.Dataset",
+    right_df: pd.DataFrame,
+    left_on: str | list[str],
+    right_on: str | list[str] | None = None,
+    how: str = "inner",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Merge a small pandas table into every batch of a large Dataset."""
+    right_ref = ray.put(right_df)
+    right_on = right_on or left_on
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        rdf = ray.get(right_ref)
+        return batch.merge(rdf, how=how, left_on=left_on, right_on=right_on)
+
+    return left.map_batches(merge, batch_format="pandas", batch_size=batch_size)
+
+
+def join_partition_count(requested: int | None = None) -> int:
+    """Partitions for Dataset.join, bounded by live CPUs (deadlock guard)."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cap = max(2, min(ncpu // 2, 16))
+    return min(requested, cap) if requested else cap
+
+
+def bucket_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    num_buckets: int | None = None,
+    left_schema=None,
+    right_schema=None,
+) -> "ray.data.Dataset":
+    """Explicit partitioned hash join built from groupby (no JoinOperator).
+
+    Pass ``left_schema`` / ``right_schema`` (pyarrow.Schema) whenever the
+    caller knows them: ``.schema()`` on a lazy dataset whose lineage contains
+    a shuffle EXECUTES that lineage just for introspection, doubling the work.
+
+    Rationale: Ray 2.49's hash-shuffle ``Dataset.join`` mis-resolves key
+    columns in DAGs where the join input's lineage contains prior shuffles
+    (acero "No match or multiple matches for key field reference ..."), even
+    when the rename runs inside map_batches. groupby shuffles are reliable,
+    so: tag each side, bucket by ``crc32(key) % B``, union (schemas padded to
+    a common superset), and pandas-merge the two sides inside each bucket via
+    ``map_groups``. B bounds per-task memory; merges are vectorized.
+
+    Caller contract: column names of the two sides must be disjoint (keys may
+    differ or match). ``how`` is pandas semantics: inner / left.
+    """
+    import zlib
+
+    import pyarrow as pa
+
+    import numpy as np
+    import pyarrow as pa
+
+    def _to_pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError, ValueError):
+            return pa.string()  # pandas object columns: strings in our uses
+
+    B = num_buckets or join_partition_count() * 4
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"bucket_join requires disjoint column names; got {overlap}")
+    ltypes = {n: _to_pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _to_pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+    target_schema = pa.schema(
+        [(c, ltypes[c]) for c in lcols] + [(c, rtypes[c]) for c in rcols]
+    )
+
+    def pad(side: int, key: str, own: list[str], other: list[str], other_t):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            keys = t.column(key).to_pylist()
+            cols = {c: t.column(c) for c in own if c in t.column_names}
+            for c in other:
+                cols[c] = pa.nulls(n, other_t[c])
+            cols["__bkt"] = pa.array(
+                [zlib.crc32(str(k).encode()) % B for k in keys], pa.int32()
+            )
+            cols["__side"] = pa.array([side] * n, pa.int8())
+            ordered = [*lcols, *rcols, "__bkt", "__side"]
+            return pa.table({c: cols[c] for c in ordered})
+
+        return f
+
+    l2 = left.map_batches(pad(0, left_on, lcols, rcols, rtypes), batch_format="pyarrow")
+    r2 = right.map_batches(pad(1, right_on, rcols, lcols, ltypes), batch_format="pyarrow")
+
+    pd_how = {"inner": "inner", "left_outer": "left", "left": "left"}[how]
+
+    def merge_bucket(g: pd.DataFrame):
+        lg = g[g["__side"] == 0][lcols]
+        rg = g[g["__side"] == 1][rcols]
+        out = lg.merge(rg, how=pd_how, left_on=left_on, right_on=right_on)
+        # emit Arrow with a pinned schema so chained joins / empty buckets
+        # keep a stable, introspectable type signature
+        try:
+            return pa.Table.from_pandas(out, schema=target_schema, preserve_index=False)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    return l2.union(r2).groupby("__bkt").map_groups(merge_bucket, batch_format="pandas")
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=join_partition_count(num_partitions),
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+    )

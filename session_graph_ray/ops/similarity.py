@@ -1,0 +1,129 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once, read in every task), partial top-k
+per batch, final top-k via a small groupby. The full matrix never leaves the
+workers; only (query_id, vec_id, sim) candidate rows move.
+
+Scale path: ``ivf_topk`` — vectors assigned to their nearest of C centroids
+(deterministic farthest-point init from a seed), queries probe the top-p
+centroids only; per-bucket brute force. At 100 TB the bucket assignment is a
+hash-shuffle-free map and the probe prunes ~C/p of the corpus per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """Top-k cosine neighbors for each query row: (query_id, vec_id, rank).
+
+    Deterministic tie-break: (-sim, vec_id). Returns exactly k rows/query.
+    """
+    qref = ray.put(_unit(np.asarray(queries, dtype=np.float64)))
+    qids_ref = ray.put(np.asarray(query_ids, dtype=np.int64))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        qids = ray.get(qids_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _unit(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        sims = q @ mat.T  # (n_queries, batch)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            out_q.extend([qids[qi]] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(sims[qi][idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        if exclude_self:
+            g = g[g["vec_id"] != qid]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def _farthest_point_centroids(sample: np.ndarray, c: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    first = rng.randint(len(sample))
+    cents = [sample[first]]
+    d = np.full(len(sample), np.inf)
+    for _ in range(c - 1):
+        d = np.minimum(d, np.linalg.norm(sample - cents[-1], axis=1))
+        cents.append(sample[int(np.argmax(d))])
+    return np.stack(cents)
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_limit: int = 4096,
+) -> "ray.data.Dataset":
+    """IVF-pruned approximate top-k: probe only the n_probe nearest cells.
+
+    Centroids come from a deterministic farthest-point sweep over a driver
+    sample (small), broadcast once. Filtering to probed cells happens inside
+    map_batches — untouched cells never feed the scorer."""
+    sample = np.asarray(
+        [r[vec_col] for r in ds.take(sample_limit)], dtype=np.float64
+    )
+    cents = _unit(_farthest_point_centroids(_unit(sample), n_centroids, seed))
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    probed: set[int] = set()
+    for qi in range(len(q)):
+        sims = cents @ q[qi]
+        probed.update(np.argsort(-sims)[:n_probe].tolist())
+    probed_arr = np.array(sorted(probed), dtype=np.int64)
+    cents_ref = ray.put(cents)
+    probed_ref = ray.put(probed_arr)
+
+    def filter_probed(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        keep_cells = ray.get(probed_ref)
+        mat = _unit(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        cell = np.argmax(mat @ c.T, axis=1)
+        mask = np.isin(cell, keep_cells)
+        return batch.filter(pa.array(mask))
+
+    pruned = ds.map_batches(filter_probed, batch_format="pyarrow", batch_size=4096)
+    return brute_force_topk(pruned, queries, query_ids, k, id_col, vec_col)

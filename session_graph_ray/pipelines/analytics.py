@@ -1,0 +1,270 @@
+"""Report/analytics pipelines over the TPC-H-ish testdata tables.
+
+Parity targets: the reference's SPARQL analytics surface (SURVEY.md §2.7 A8 —
+grouped counts, distinct-counts, top-k hubs, cross-source overlap) expressed
+as Ray Data ``groupby/aggregate/sort/limit`` pipelines, plus the classic
+filter/join/aggregate shapes.
+
+Numeric-output contract (driver value-hash safety): money/quantity outputs
+are **integer cents** computed per row as ``floor(x * 100 + 0.5)`` before
+summing. The identical expression runs in the DuckDB oracle, so both sides
+sum exactly the same int64s — no float-summation-order hazards.
+
+Reads prune columns at the source (``read_parquet(columns=[...])``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..ops.join import broadcast_join, hash_join
+
+
+def _cents(col) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 — the shared Ray/SQL rounding contract."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+def q_pricing_summary(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q1 shape: scan-heavy filter + grouped aggregate (2 keys)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": _cents(t["l_quantity"]),
+                "base_price_c": _cents(t["l_extendedprice"]),
+                "disc_price_c": _cents(disc_price),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="sum_qty_c"),
+            Sum("base_price_c", alias_name="sum_base_price_c"),
+            Sum("disc_price_c", alias_name="sum_disc_price_c"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def q_revenue_filter(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q6 shape: tight predicate + single global sum."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                        pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.table({"revenue_c": _cents(rev)})
+
+    agg = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536).aggregate(
+        Sum("revenue_c", alias_name="revenue_c")
+    )
+    # Dataset.aggregate returns a plain row for global aggregates
+    return pd.DataFrame([{"revenue_c": np.int64(agg["revenue_c"])}])
+
+
+def q_top_customers(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Pre-aggregate orders per customer (partial before shuffle), broadcast
+    the small customer dim onto the aggregate, global top-k."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "price_c": _cents(t["o_totalprice"])}
+        )
+
+    per_cust = (
+        orders.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_custkey")
+        .aggregate(Sum("price_c", alias_name="total_spent_c"),
+                   Count(alias_name="n_orders"))
+    )
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    named = broadcast_join(per_cust, cust, left_on="o_custkey", right_on="c_custkey")
+    top = named.sort(["total_spent_c", "o_custkey"], descending=[True, False]).limit(k)
+    return top.to_pandas()[["c_custkey", "c_name", "total_spent_c", "n_orders"]]
+
+
+def q_region_sales(sf_dir: str) -> "rd.Dataset":
+    """Star join via broadcast dims: orders -> customer -> nation -> region."""
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"])
+    dim = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )[["c_custkey", "r_name"]]
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "price_c": _cents(t["o_totalprice"])}
+        )
+
+    return (
+        broadcast_join(
+            orders.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+            dim, left_on="o_custkey", right_on="c_custkey",
+        )
+        .groupby("r_name")
+        .aggregate(Sum("price_c", alias_name="total_sales_c"),
+                   Count(alias_name="n_orders"))
+    )
+
+
+def q_part_brand_volume(sf_dir: str) -> "rd.Dataset":
+    """Large-large hash join (lineitem x part) + grouped aggregate."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": t["l_partkey"], "qty_c": _cents(t["l_quantity"])})
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    joined = hash_join(
+        li.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        part, on="l_partkey", right_on="p_partkey",
+    )
+    return joined.groupby("p_brand").aggregate(
+        Sum("qty_c", alias_name="sum_qty_c"), Count(alias_name="n_items")
+    )
+
+
+def q_event_type_users(sf_dir: str) -> "rd.Dataset":
+    """Exact count-distinct via two-level groupby (no driver-side sets)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    per_pair = ev.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="n_events_pair")
+    )
+    return per_pair.groupby("event_type").aggregate(
+        Count(alias_name="n_users"), Sum("n_events_pair", alias_name="n_events")
+    )
+
+
+def q_events_daily(sf_dir: str) -> "rd.Dataset":
+    """Tumbling calendar-day aggregate (GROUP BY day, type)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table(
+            {"day": day, "event_type": t["event_type"], "value_c": _cents(t["value"])}
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c"))
+    )
+
+
+def q_sessionize_users(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
+    from ..ops.sessionize import sessionize_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sessionize_counts(ev, gap_minutes=gap_minutes)
+
+
+def q_doc_token_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-language integer token/char totals over documents."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..ops.textstats import token_count_column
+
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_tokens": token_count_column(t["text"]),
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(prep, batch_format="pyarrow", batch_size=8192)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="sum_tokens"),
+                   Sum("n_chars", alias_name="sum_chars"))
+    )
+
+
+def q_doc_substring(sf_dir: str, needle: str = "the") -> "rd.Dataset":
+    """Vectorized substring filter + grouped count (regex/LIKE parity)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.match_substring(t["text"], needle))
+
+    return (
+        docs.map_batches(prep, batch_format="pyarrow", batch_size=8192)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def q_exact_dedup_docs(sf_dir: str) -> "rd.Dataset":
+    from ..ops.dedup import exact_dedup_survivors
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_survivors(docs)
+
+
+def q_knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> "rd.Dataset":
+    """Brute-force cosine top-k for the first n_queries vectors."""
+    from ..ops.similarity import brute_force_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in emb.filter(lambda r: r["vec_id"] < n_queries).take(n_queries)),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    out = brute_force_topk(emb, queries, qids, k=k)
+    return out.select_columns(["query_id", "vec_id"])

@@ -134,37 +134,38 @@ def _salt_batch_factory(hot_ref, cfg: ERConfig):
     return salt
 
 
-def pairs_in_block_factory(cfg: ERConfig):
-    """Grouped pair generation with a hard per-block pair ceiling."""
+def pairs_via_self_join(
+    keys: "ray.data.Dataset", cfg: ERConfig
+) -> "ray.data.Dataset":
+    """Candidate pairs by self-joining the (block_key, file_id) table.
 
-    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["file_id"].tolist()))
-        a_out: list[str] = []
-        b_out: list[str] = []
-        truncated = 0
-        if len(ids) >= 2:  # singleton-block drop (frequency-filter analog)
-            cap = cfg.max_pairs_per_block
-            for i in range(len(ids) - 1):
-                if len(a_out) >= cap:
-                    truncated += (len(ids) - 1 - i) * (len(ids) - i) // 2
-                    break
-                for j in range(i + 1, len(ids)):
-                    if len(a_out) >= cap:
-                        truncated += 1
-                        continue
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-        key = g["block_key"].iloc[0] if len(a_out) else ""
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(a_out, dtype="string"),
-                "id_b": pd.Series(b_out, dtype="string"),
-                "block_key": pd.Series([key] * len(a_out), dtype="string"),
-                "truncated": np.full(len(a_out), truncated, dtype=np.int64),
-            }
+    A per-group ``map_groups`` here would mean one Python/pandas invocation
+    per block key — tens of thousands of tiny groups. The self bucket-join
+    does the same work as vectorized pandas merges over ~B buckets; the
+    ``id_a < id_b`` triangle filter runs as an Arrow kernel. Block sizes are
+    already bounded by the salting pass, so the per-block n^2 blowup is
+    capped before this join (skew handling happens upstream, not here).
+    """
+    from ..ops.join import bucket_join, rename_batches
+
+    ka = rename_batches(keys, {"file_id": "id_a"})
+    kb = rename_batches(keys, {"block_key": "block_key_r", "file_id": "id_b"})
+    joined = bucket_join(
+        ka, kb, left_on="block_key", right_on="block_key_r",
+        num_buckets=cfg.join_partitions * 4,
+        left_schema=pa.schema([("block_key", pa.string()), ("id_a", pa.string())]),
+        right_schema=pa.schema([("block_key_r", pa.string()), ("id_b", pa.string())]),
+    )
+
+    def triangle(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.less(batch["id_a"], batch["id_b"])
+        t = batch.filter(mask)
+        return pa.table(
+            {"id_a": t["id_a"], "id_b": t["id_b"], "block_key": t["block_key"]}
         )
 
-    return pairs_in_block
+    return joined.map_batches(triangle, batch_format="pyarrow",
+                              batch_size=cfg.pair_batch_size)
 
 
 def candidate_pairs(
@@ -182,9 +183,7 @@ def candidate_pairs(
         _salt_batch_factory(hot_ref, cfg), batch_format="pyarrow",
         batch_size=cfg.pair_batch_size,
     )
-    raw_pairs = salted.groupby("block_key").map_groups(
-        pairs_in_block_factory(cfg), batch_format="pandas"
-    )
+    raw_pairs = pairs_via_self_join(salted, cfg)
 
     def add_route(batch: pa.Table) -> pa.Table:
         keys = batch.column("block_key").to_pylist()

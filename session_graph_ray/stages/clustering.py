@@ -7,13 +7,15 @@ representative (same-QID => ``owl:sameAs``,
 so the output is order-free (SURVEY.md §2.11 note).
 
 Algorithm: hash-partitioned min-label propagation to fixpoint — no driver-side
-union-find state (north_rule). Per round, entirely in Ray Data:
+union-find state (north_rule). Each round is pure groupby message-passing
+(NO joins — Ray 2.49's hash-shuffle join mis-plans DAGs containing several
+joins over the same inputs; groupby shuffles are solid):
 
-    msgs      = edges ⋈ labels(on id_a) -> (id_b, label_a)
-              ∪ edges ⋈ labels(on id_b) -> (id_a, label_b)
-              ∪ labels
-    labels'   = msgs.groupby(node).min(label)
-    converged = checksum(labels') == checksum(labels)   (crc32 sum — scalar)
+    u       = bidirected edges (node, peer) ∪ labels (node, label)
+    msgs    = u.groupby(node): emit (node, lbl) + (peer, lbl) for the node's
+              current label lbl                      [shuffle 1: by node]
+    labels' = msgs.groupby(node).min(label)          [shuffle 2: by node]
+    stop when checksum(labels') == checksum(labels)  (crc32 sum — scalar)
 
 Converges in O(log d) rounds for cluster diameter d; ER clusters are shallow
 (2-4 rounds typical). Each round materializes only the label table (nodes
@@ -28,6 +30,8 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -35,6 +39,7 @@ import ray.data
 from ray.data.aggregate import Min, Sum
 
 from ..config import ERConfig
+from ..ops.join import rename_batches
 
 
 def _label_checksum(labels: "ray.data.Dataset") -> int:
@@ -58,14 +63,38 @@ def propagate_labels(
 ) -> "ray.data.Dataset":
     """(id_a, id_b) match edges -> (node, label) with label = min reachable id.
 
+    Per round: two bucket-joins attach each endpoint's current label to the
+    opposite endpoint as a message; union with the labels themselves; native
+    ``Min`` aggregate per node. Everything is vectorized (pandas merges per
+    bucket + Arrow kernels) — no per-node Python.
+
     ``checkpoint_cb(round_idx, labels_ds)`` is invoked per round when given
     (per-round lineage checkpointing hook)."""
-    edges = edges.select_columns(["id_a", "id_b"]).materialize()
+    from ..ops.join import bucket_join, rename_batches
+
+    def as_str_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pc.cast(batch.column("id_a"), pa.string()),
+                "id_b": pc.cast(batch.column("id_b"), pa.string()),
+            }
+        )
+
+    edges = (
+        edges.select_columns(["id_a", "id_b"])
+        .map_batches(as_str_edges, batch_format="pyarrow")
+        .materialize()
+    )
+    if edges.count() == 0:  # nothing to merge: all-singleton corpus
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()),
+                      "label": pa.array([], pa.string())})
+        )
 
     def init_labels(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a")
-        b = batch.column("id_b")
-        node = pa.concat_arrays([a.combine_chunks(), b.combine_chunks()])
+        a = batch.column("id_a").combine_chunks()
+        b = batch.column("id_b").combine_chunks()
+        node = pa.concat_arrays([a, b])
         return pa.table({"node": node, "label": node})
 
     labels = (
@@ -75,22 +104,25 @@ def propagate_labels(
         .materialize()
     )
 
+    def _msgs(to_col: str, on_col: str, lab: "ray.data.Dataset"):
+        j = bucket_join(
+            edges, lab, left_on=on_col, right_on="node_l",
+            num_buckets=cfg.join_partitions * 4,
+            left_schema=pa.schema([("id_a", pa.string()), ("id_b", pa.string())]),
+            right_schema=pa.schema([("node_l", pa.string()), ("label_l", pa.string())]),
+        )
+        return j.map_batches(
+            lambda t, c=to_col: pa.table(
+                {"node": t.column(c), "label": t.column("label_l")}
+            ),
+            batch_format="pyarrow",
+        )
+
     prev_sum = _label_checksum(labels)
     for rnd in range(cfg.max_cluster_rounds):
-        la = labels.rename_columns({"node": "node_a", "label": "label_a"})
-        lb = labels.rename_columns({"node": "node_b", "label": "label_b"})
-        m1 = (
-            edges.join(la, join_type="inner", num_partitions=cfg.join_partitions,
-                       on=("id_a",), right_on=("node_a",))
-            .select_columns(["id_b", "label_a"])
-            .rename_columns({"id_b": "node", "label_a": "label"})
-        )
-        m2 = (
-            edges.join(lb, join_type="inner", num_partitions=cfg.join_partitions,
-                       on=("id_b",), right_on=("node_b",))
-            .select_columns(["id_a", "label_b"])
-            .rename_columns({"id_a": "node", "label_b": "label"})
-        )
+        lab = rename_batches(labels, {"node": "node_l", "label": "label_l"})
+        m1 = _msgs("id_b", "id_a", lab)
+        m2 = _msgs("id_a", "id_b", lab)
         new_labels = (
             m1.union(m2)
             .union(labels)
@@ -113,13 +145,18 @@ def assignments(
 ) -> "ray.data.Dataset":
     """Every corpus row -> (file_id, canonical_file_id); unmatched rows map to
     themselves (singleton clusters, including non-scorable rows)."""
-    lab = labels.rename_columns({"node": "file_id_l", "label": "canonical"})
-    joined = corpus_ids.select_columns(["file_id"]).join(
+    from ..ops.join import bucket_join
+
+    lab = rename_batches(labels, {"node": "file_id_l", "label": "canonical"})
+    joined = bucket_join(
+        corpus_ids.select_columns(["file_id"]),
         lab,
-        join_type="left_outer",
-        num_partitions=cfg.join_partitions,
-        on=("file_id",),
-        right_on=("file_id_l",),
+        left_on="file_id",
+        right_on="file_id_l",
+        how="left",
+        num_buckets=cfg.join_partitions * 4,
+        left_schema=pa.schema([("file_id", pa.string())]),
+        right_schema=pa.schema([("file_id_l", pa.string()), ("canonical", pa.string())]),
     )
 
     def finalize(batch: pa.Table) -> pa.Table:

@@ -103,14 +103,17 @@ def _empty_scores() -> pa.Table:
 
 
 def _rename_for_side(ds: "ray.data.Dataset", side: str) -> "ray.data.Dataset":
-    return ds.rename_columns(
+    from ..ops.join import rename_batches
+
+    return rename_batches(
+        ds,
         {
             "file_id": f"fid_{side}",
             "content_sha256": f"sha_{side}",
             "stem_norm": f"stem_{side}",
             "tokens_str": f"tokens_{side}",
             "content_trunc": f"trunc_{side}",
-        }
+        },
     )
 
 
@@ -151,20 +154,31 @@ def score_pairs(
         sha_to_scores, batch_format="pyarrow", batch_size=cfg.pair_batch_size
     )
 
+    from ..ops.join import bucket_join
+
     fa = _rename_for_side(feat, "a")
     fb = _rename_for_side(feat, "b")
-    enriched = fuzzy_pairs.join(
-        fa,
-        join_type="inner",
-        num_partitions=cfg.join_partitions,
-        on=("id_a",),
-        right_on=("fid_a",),
-    ).join(
-        fb,
-        join_type="inner",
-        num_partitions=cfg.join_partitions,
-        on=("id_b",),
-        right_on=("fid_b",),
+    def _feat_schema(side: str) -> pa.Schema:
+        return pa.schema(
+            [(f"fid_{side}", pa.string()), (f"sha_{side}", pa.string()),
+             (f"stem_{side}", pa.string()), (f"tokens_{side}", pa.string()),
+             (f"trunc_{side}", pa.string())]
+        )
+
+    pairs_schema = pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()), ("block_key", pa.string())]
+    )
+    enriched = bucket_join(
+        bucket_join(
+            fuzzy_pairs.select_columns(["id_a", "id_b", "block_key"]),
+            fa, left_on="id_a", right_on="fid_a",
+            num_buckets=cfg.join_partitions * 4,
+            left_schema=pairs_schema, right_schema=_feat_schema("a"),
+        ),
+        fb, left_on="id_b", right_on="fid_b",
+        num_buckets=cfg.join_partitions * 4,
+        left_schema=pa.schema(list(pairs_schema) + list(_feat_schema("a"))),
+        right_schema=_feat_schema("b"),
     )
 
     fuzzy_scored = enriched.map_batches(

@@ -9,7 +9,7 @@ from session_graph_ray.config import ERConfig
 from session_graph_ray.stages.blocking import (
     KeyExploder,
     candidate_pairs,
-    pairs_in_block_factory,
+    pairs_via_self_join,
 )
 from session_graph_ray.stages.normalize import normalize
 
@@ -32,15 +32,21 @@ def test_key_exploder_families(tiny_corpus_dir):
     assert len(keys) <= n_scorable * (cfg.minhash_bands + 2)
 
 
-def test_pairs_in_block_singleton_and_cap():
-    cfg = ERConfig(max_pairs_per_block=3)
-    f = pairs_in_block_factory(cfg)
-    single = pd.DataFrame({"block_key": ["k"], "file_id": ["a"]})
-    assert len(f(single)) == 0
-    many = pd.DataFrame({"block_key": ["k"] * 5, "file_id": list("abcde")})
-    out = f(many)
-    assert len(out) == 3  # capped
-    assert (out["truncated"] > 0).all()  # truncation is counted, not silent
+def test_pairs_via_self_join_singleton_and_triangle():
+    import ray.data as rdata
+
+    cfg = ERConfig().scaled(4)
+    keys = rdata.from_items(
+        [
+            {"block_key": "k1", "file_id": "a"},   # singleton -> no pairs
+            {"block_key": "k2", "file_id": "b"},
+            {"block_key": "k2", "file_id": "c"},
+            {"block_key": "k2", "file_id": "d"},
+        ]
+    )
+    out = pairs_via_self_join(keys, cfg).to_pandas()
+    got = sorted(zip(out["id_a"], out["id_b"]))
+    assert got == [("b", "c"), ("b", "d"), ("c", "d")]  # triangle, no dups
 
 
 def test_candidate_pairs_unique_and_ordered(tiny_corpus_dir):

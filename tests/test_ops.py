@@ -1,0 +1,209 @@
+"""Operator-library tests: dedup family, similarity, text stats, sessionize,
+multimodal plumbing, joins."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_survivors():
+    from session_graph_ray.ops.dedup import exact_dedup_survivors
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 3, "text": "aaa"},
+            {"doc_id": 1, "text": "aaa"},
+            {"doc_id": 2, "text": "bbb"},
+            {"doc_id": 9, "text": "aaa"},
+        ]
+    )
+    out = sorted(r["doc_id"] for r in exact_dedup_survivors(ds).iter_rows())
+    assert out == [1, 2]
+
+
+def test_minhash_near_dedup_docs():
+    from session_graph_ray.ops.dedup import near_dedup_assignments
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest near the old stone bridge today"
+    )
+    edited = base.replace("stone", "wooden")
+    other = "completely different content about databases indexes and query planners in modern distributed systems for analytics"
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": edited},
+            {"doc_id": 3, "text": other},
+        ]
+    )
+    out = near_dedup_assignments(ds, threshold=0.5).to_pandas()
+    m = dict(zip(out["doc_id"], out["canonical_doc_id"]))
+    assert m[1] == m[2] == 1
+    assert m[3] == 3
+
+
+def test_simhash_deterministic():
+    from session_graph_ray.ops.dedup import simhash_fingerprints
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet").limit(20)
+    a = simhash_fingerprints(docs).to_pandas().sort_values("doc_id")
+    b = simhash_fingerprints(docs).to_pandas().sort_values("doc_id")
+    assert (a["simhash"].values == b["simhash"].values).all()
+    assert a["simhash"].str.len().eq(16).all()
+
+
+def test_embedding_near_dup_finds_planted_copy():
+    from session_graph_ray.ops.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(50, 16)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    rows.append({"vec_id": 999, "embedding": vecs[7].tolist()})  # exact copy
+    out = embedding_near_dup_pairs(rd.from_items(rows), threshold=0.99).to_pandas()
+    assert {(7, 999)} == set(zip(out["id_a"], out["id_b"]))
+
+
+def test_knn_bruteforce_matches_numpy():
+    from session_graph_ray.ops.similarity import brute_force_topk
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    rows = sorted(emb.take(3), key=lambda r: r["vec_id"])
+    q = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    out = brute_force_topk(emb, q, [r["vec_id"] for r in rows], k=5).to_pandas()
+    assert len(out) == 15
+    # cross-check query 0 against a local numpy scan
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(t["vec_id"].to_pylist())
+    mu = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q0 = q[0] / np.linalg.norm(q[0])
+    sims = mu @ q0
+    order = np.lexsort((ids, -sims))
+    expect = [int(ids[i]) for i in order if int(ids[i]) != rows[0]["vec_id"]][:5]
+    got = out[out["query_id"] == rows[0]["vec_id"]].sort_values("rank")["vec_id"].tolist()
+    assert got == expect
+
+
+def test_ivf_topk_high_recall():
+    from session_graph_ray.ops.similarity import brute_force_topk, ivf_topk
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    rows = sorted(emb.take(2), key=lambda r: r["vec_id"])
+    q = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    qids = [r["vec_id"] for r in rows]
+    exact = brute_force_topk(emb, q, qids, k=10).to_pandas()
+    approx = ivf_topk(emb, q, qids, k=10, n_centroids=8, n_probe=4).to_pandas()
+    inter = len(
+        set(zip(exact["query_id"], exact["vec_id"]))
+        & set(zip(approx["query_id"], approx["vec_id"]))
+    )
+    assert inter / len(exact) >= 0.5  # recall of the probed subset
+
+
+def test_text_stats_token_contract():
+    from session_graph_ray.ops.textstats import text_stats
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "  hello   world \n\t x "},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "a,b;c!"},
+        ]
+    )
+    out = text_stats(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 3  # == len(s.split())
+    assert out.loc[2, "n_tokens"] == 0
+    assert out.loc[3, "n_punct"] == 3
+
+
+def test_quality_and_langid():
+    from session_graph_ray.ops.textstats import quality_scores
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "the cat and the dog sat on the mat in the sun and it was warm"},
+            {"doc_id": 2, "text": "le chat est dans la maison et il est content de la vie en France"},
+            {"doc_id": 3, "text": "x"},
+        ]
+    )
+    out = quality_scores(ds, concurrency=2).to_pandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "fr"
+    assert out.loc[1, "quality"] > out.loc[3, "quality"]
+
+
+def test_rolling_fingerprint_shift_invariance():
+    from session_graph_ray.ops.textstats import rolling_fingerprint
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": text},
+            {"doc_id": 2, "text": "PREFIX " + text},  # min-window survives shift
+            {"doc_id": 3, "text": "unrelated words entirely here now and forever"},
+        ]
+    )
+    out = rolling_fingerprint(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "fingerprint"] == out.loc[2, "fingerprint"]
+    assert out.loc[1, "fingerprint"] != out.loc[3, "fingerprint"]
+
+
+def test_sessionize_counts():
+    from session_graph_ray.ops.sessionize import sessionize_counts
+
+    t0 = np.datetime64("2024-01-01T00:00:00")
+    mins = np.timedelta64(1, "m")
+    rows = [
+        {"user_id": 1, "ts": t0},
+        {"user_id": 1, "ts": t0 + 10 * mins},
+        {"user_id": 1, "ts": t0 + 120 * mins},  # gap > 30min -> new session
+        {"user_id": 2, "ts": t0},
+    ]
+    out = sessionize_counts(rd.from_items(rows)).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_sessions"] == 2 and out.loc[1, "n_events"] == 3
+    assert out.loc[2, "n_sessions"] == 1
+
+
+def test_media_feature_plumbing():
+    from session_graph_ray.ops.multimodal import (
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_media_table(n=32))
+    out = extract_media_features(media, concurrency=2).to_pandas()
+    assert len(out) == 32
+    ok = out["decode_error"].isna()
+    assert ok.all()
+    assert (out["width"] > 0).all()
+    assert out["feature"].map(len).eq(32).all()
+
+    # quarantine path: truncated payload must not fail the task
+    bad = pa.table(
+        {
+            "media_id": pa.array(["bad1"], pa.string()),
+            "kind": pa.array(["image"], pa.string()),
+            "payload": pa.array([b"x"], pa.large_binary()),
+            "meta": pa.array(["{}"], pa.string()),
+        }
+    )
+    out2 = extract_media_features(rd.from_arrow(bad), concurrency=2).to_pandas()
+    assert out2["decode_error"].notna().all()
+
+
+def test_broadcast_and_hash_join_agree():
+    from session_graph_ray.ops.join import broadcast_join, hash_join
+
+    left = rd.from_items([{"k": i % 7, "v": i} for i in range(100)])
+    right_df = pd.DataFrame({"k2": list(range(7)), "name": [f"n{i}" for i in range(7)]})
+    b = broadcast_join(left, right_df, left_on="k", right_on="k2").to_pandas()
+    h = hash_join(left, rd.from_pandas(right_df), on="k", right_on="k2").to_pandas()
+    assert len(b) == len(h) == 100
+    assert sorted(zip(b["v"], b["name"])) == sorted(zip(h["v"], h["name"]))
