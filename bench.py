@@ -1,0 +1,181 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines and print ONE JSON line
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+Headline = the flagship three-stage ER pipeline over the deterministic
+synthetic bench corpus (~200k rows, FIXTURES.md scale point); the metric from
+BASELINE.json is candidate-pairs-scored/sec, reported as ``pairs_per_sec``.
+
+--scaling: runs the headline in two FRESH processes at num_cpus=8 and
+num_cpus=32 on the same (pre-generated, page-cache-warmed) input and reports
+both throughputs + scaling efficiency (the sandbox proxy for the N vs 4N-node
+criterion; see BASELINE.md).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+GRAFT_BENCH_ONLY (comma list to restrict query set), GRAFT_BENCH_SIZE
+(corpus size name, default "bench").
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level=logging.ERROR,
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def run_bench(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
+    import ray
+
+    from session_graph_ray.config import ERConfig
+    from session_graph_ray.fixtures import ensure_corpus
+    from session_graph_ray.pipelines import analytics as A
+    from session_graph_ray.pipelines.er import run_er_pipeline
+
+    size = os.environ.get("GRAFT_BENCH_SIZE", "bench")
+    corpus_dir = ensure_corpus(size)  # generated before any timer starts
+
+    _init_ray(num_cpus)
+    cfg = ERConfig().scaled(num_cpus)
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name: str, fn):
+        if only and name not in only:
+            return None
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the page cache (untimed): one cheap full read of the corpus
+    import pyarrow.parquet as pq
+
+    pq.read_table(f"{corpus_dir}/corpus.parquet", columns=["repo"])
+
+    def er():
+        res = run_er_pipeline(f"{corpus_dir}/corpus.parquet", cfg)
+        n_pairs = res.pairs.count()
+        n_rows = res.assignments.count()
+        extras["er_rows"] = n_rows
+        extras["er_candidate_pairs"] = n_pairs
+        extras["er_match_edges"] = res.edges.count()
+        return n_pairs
+
+    timed("er_pipeline", er)
+    if "er_pipeline" in timings:
+        extras["pairs_per_sec"] = round(
+            extras["er_candidate_pairs"] / timings["er_pipeline"], 1
+        )
+        extras["rows_per_sec"] = round(extras["er_rows"] / timings["er_pipeline"], 1)
+
+    timed("pricing_summary", lambda: A.q_pricing_summary(sf_dir).materialize())
+    timed("part_brand_volume", lambda: A.q_part_brand_volume(sf_dir).materialize())
+    timed("event_type_users", lambda: A.q_event_type_users(sf_dir).materialize())
+    timed("sessionize_users", lambda: A.q_sessionize_users(sf_dir).materialize())
+    timed("doc_token_stats", lambda: A.q_doc_token_stats(sf_dir).materialize())
+    timed("knn_bruteforce", lambda: A.q_knn_bruteforce(sf_dir).materialize())
+
+    def near_dedup():
+        import ray.data as rd
+
+        from session_graph_ray.ops.dedup import near_dedup_assignments
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return near_dedup_assignments(docs, threshold=0.8, cfg=cfg).materialize()
+
+    timed("near_dedup_docs", near_dedup)
+
+    headline = timings.get("er_pipeline", sum(timings.values()))
+    return {
+        "metric": "er_pipeline_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    """Fresh process per parallelism level, same input (cache pre-warmed)."""
+    from session_graph_ray.fixtures import ensure_corpus
+
+    ensure_corpus(os.environ.get("GRAFT_BENCH_SIZE", "bench"))  # generate once
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ONLY="er_pipeline",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "pairs_per_sec_lo": r_lo.get("pairs_per_sec"),
+        "pairs_per_sec_hi": r_hi.get("pairs_per_sec"),
+        "er_candidate_pairs": r_hi.get("er_candidate_pairs"),
+        "er_rows": r_hi.get("er_rows"),
+    }
+
+
+def main():
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    only_env = os.environ.get("GRAFT_BENCH_ONLY")
+    only = set(only_env.split(",")) if only_env else None
+    result = run_bench(sf_dir, num_cpus, only)
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

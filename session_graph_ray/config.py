@@ -10,8 +10,8 @@ from dataclasses import dataclass, field
 @dataclass(frozen=True)
 class ERConfig:
     # --- blocking ---------------------------------------------------------
-    minhash_num_perm: int = 128
-    minhash_bands: int = 32
+    minhash_num_perm: int = 64
+    minhash_bands: int = 16
     minhash_seed: int = 42
     shingle_k: int = 3
     content_token_cap: int = 2000

@@ -5,8 +5,9 @@ is "same normalized slug => same node", ``/root/reference/pipeline/common.py:29-
 MinHash bands extend that idea to near-duplicate *content*. Parameters follow
 the standard S-curve: with ``num_perm = bands * rows_per_band``, a pair with
 Jaccard similarity s collides in >=1 band with prob 1-(1-s^r)^b. Defaults
-(b=32, r=4) put the 50% threshold at (1/32)^(1/4) ≈ 0.42 — recall-biased, the
-scorer stage filters false candidates.
+(b=16, r=4) put the 50% threshold at (1/16)^(1/4) ≈ 0.5 — recall-biased for
+the planted edit rates (a 5% token edit has shingle Jaccard ≈ 0.74 -> band
+collision prob ≈ 0.997), and half the key volume of b=32.
 
 Determinism: permutation parameters derive from a fixed seed; shingle hashing
 uses crc32 (unsalted) — identical across workers and runs, unlike Python's
@@ -26,7 +27,7 @@ _MAXH = np.uint64((1 << 32) - 1)
 class MinHasher:
     """State-heavy object built once per actor (permutation tables)."""
 
-    def __init__(self, num_perm: int = 128, bands: int = 32, seed: int = 42):
+    def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 42):
         assert num_perm % bands == 0
         self.num_perm = num_perm
         self.bands = bands

@@ -99,36 +99,52 @@ def derive_block_keys(norm_ds: "ray.data.Dataset", cfg: ERConfig) -> "ray.data.D
     )
 
 
-def hot_key_census(keys_ds: "ray.data.Dataset", cfg: ERConfig) -> dict[str, int]:
-    """Block-size accounting; returns only keys above the cap (small dict).
+def block_census(
+    keys_ds: "ray.data.Dataset", cfg: ERConfig
+) -> tuple[dict[str, int], set[str]]:
+    """Block-size accounting: (hot-key -> n_chunks dict, non-singleton key set).
 
     The census shuffle moves (key, id) rows only — never content — so it is
-    cheap even at 10^12 rows; the hot dict is tiny (heavy-hitter keys only)
-    and safe to broadcast via ``ray.put``.
+    cheap even at huge row counts. Singleton blocks (the overwhelming
+    majority: unique sha hashes and unique MinHash bands) produce no pairs
+    (frequency-filter analog, ``link_entities.py:857-879``), so their keys are
+    dropped BEFORE the pair self-join — at bench scale this prunes ~80% of
+    key rows. Both outputs are heavy-hitter/multi-member keys only and are
+    broadcast via ``ray.put`` (at extreme corpus scale the keep-set becomes a
+    distributed semi-join against the sizes table instead — same plan shape).
     """
     sizes = keys_ds.groupby("block_key").aggregate(Count(alias_name="n"))
-    hot = sizes.filter(lambda r: r["n"] > cfg.block_cap)  # tiny result
-    out: dict[str, int] = {}
-    for row in hot.iter_rows():
-        out[row["block_key"]] = int(np.ceil(row["n"] / cfg.block_cap))
-    return out
+
+    def non_singleton(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.greater_equal(t["n"], pa.scalar(2)))
+
+    multi = sizes.map_batches(non_singleton, batch_format="pyarrow").to_pandas()
+    hot = {
+        k: int(np.ceil(n / cfg.block_cap))
+        for k, n in zip(multi["block_key"], multi["n"])
+        if n > cfg.block_cap
+    }
+    return hot, set(multi["block_key"])
 
 
-def _salt_batch_factory(hot_ref, cfg: ERConfig):
+def _salt_batch_factory(hot_ref, keep_ref, cfg: ERConfig):
+    """Fused prune + salt pass: drop singleton-block keys, split hot blocks."""
+
     def salt(batch: pa.Table) -> pa.Table:
         hot: dict[str, int] = ray.get(hot_ref) if hot_ref is not None else {}
+        keep: set[str] | None = ray.get(keep_ref) if keep_ref is not None else None
         keys = batch.column("block_key").to_pylist()
         fids = batch.column("file_id").to_pylist()
-        salted = []
+        out_k, out_f = [], []
         for k, f in zip(keys, fids):
+            if keep is not None and k not in keep:
+                continue  # singleton block: no pairs possible
             n = hot.get(k)
-            if n:
-                salted.append(f"{k}#{zlib.crc32(f.encode()) % n}")
-            else:
-                salted.append(k)
+            out_k.append(f"{k}#{zlib.crc32(f.encode()) % n}" if n else k)
+            out_f.append(f)
         return pa.table(
-            {"block_key": pa.array(salted, pa.string()),
-             "file_id": pa.array(fids, pa.string())}
+            {"block_key": pa.array(out_k, pa.string()),
+             "file_id": pa.array(out_f, pa.string())}
         )
 
     return salt
@@ -177,11 +193,20 @@ def candidate_pairs(
     # census + salting need two passes over keys — materialize once (ids+keys
     # only; tiny blocks relative to the corpus)
     keys = keys.materialize()
-    hot = hot_key_census(keys, cfg)
+    hot, keep = block_census(keys, cfg)
     hot_ref = ray.put(hot) if hot else None
-    salted = keys.map_batches(
-        _salt_batch_factory(hot_ref, cfg), batch_format="pyarrow",
-        batch_size=cfg.pair_batch_size,
+    keep_ref = ray.put(keep)
+    # materialize + coalesce the pruned keys: (a) the self-join consumes this
+    # dataset twice — lazy would re-run the prune pass per side; (b) actor
+    # output blocks are tiny and thousands of them stall the executor with
+    # per-task overhead, so coalesce to ~join_partitions blocks first
+    salted = (
+        keys.map_batches(
+            _salt_batch_factory(hot_ref, keep_ref, cfg), batch_format="pyarrow",
+            batch_size=cfg.pair_batch_size,
+        )
+        .repartition(cfg.join_partitions)
+        .materialize()
     )
     raw_pairs = pairs_via_self_join(salted, cfg)
 

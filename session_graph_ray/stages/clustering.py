@@ -7,14 +7,13 @@ representative (same-QID => ``owl:sameAs``,
 so the output is order-free (SURVEY.md §2.11 note).
 
 Algorithm: hash-partitioned min-label propagation to fixpoint — no driver-side
-union-find state (north_rule). Each round is pure groupby message-passing
-(NO joins — Ray 2.49's hash-shuffle join mis-plans DAGs containing several
-joins over the same inputs; groupby shuffles are solid):
+union-find state (north_rule). Each round uses bucket_join (the groupby-based
+partitioned hash join from ops/join.py — Ray 2.49's native JoinOperator
+mis-plans multi-join DAGs) plus native aggregates, fully vectorized:
 
-    u       = bidirected edges (node, peer) ∪ labels (node, label)
-    msgs    = u.groupby(node): emit (node, lbl) + (peer, lbl) for the node's
-              current label lbl                      [shuffle 1: by node]
-    labels' = msgs.groupby(node).min(label)          [shuffle 2: by node]
+    m1      = edges ⋈ labels on id_a -> (node=id_b, label=label(id_a))
+    m2      = edges ⋈ labels on id_b -> (node=id_a, label=label(id_b))
+    labels' = (m1 ∪ m2 ∪ labels).groupby(node).min(label)
     stop when checksum(labels') == checksum(labels)  (crc32 sum — scalar)
 
 Converges in O(log d) rounds for cluster diameter d; ER clusters are shallow
@@ -83,6 +82,7 @@ def propagate_labels(
     edges = (
         edges.select_columns(["id_a", "id_b"])
         .map_batches(as_str_edges, batch_format="pyarrow")
+        .repartition(cfg.join_partitions)  # coalesce: consumed 2x per round
         .materialize()
     )
     if edges.count() == 0:  # nothing to merge: all-singleton corpus
@@ -101,6 +101,7 @@ def propagate_labels(
         edges.map_batches(init_labels, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
+        .repartition(cfg.join_partitions)
         .materialize()
     )
 
@@ -128,6 +129,7 @@ def propagate_labels(
             .union(labels)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            .repartition(cfg.join_partitions)
             .materialize()
         )
         new_sum = _label_checksum(new_labels)
