@@ -49,7 +49,7 @@ def _er_result(sf_dir: str):
     size = "tiny" if "0.001" in sf_dir else "small"
     if size not in _ER_CACHE:
         d = ensure_corpus(size)
-        _ER_CACHE[size] = run_er_pipeline(f"{d}/corpus.parquet")
+        _ER_CACHE[size] = run_er_pipeline(f"{d}/corpus")
     return _ER_CACHE[size]
 
 

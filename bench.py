@@ -75,10 +75,10 @@ def run_bench(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
     # warm the page cache (untimed): one cheap full read of the corpus
     import pyarrow.parquet as pq
 
-    pq.read_table(f"{corpus_dir}/corpus.parquet", columns=["repo"])
+    pq.read_table(f"{corpus_dir}/corpus/part-00000.parquet", columns=["repo"])
 
     def er():
-        res = run_er_pipeline(f"{corpus_dir}/corpus.parquet", cfg)
+        res = run_er_pipeline(f"{corpus_dir}/corpus", cfg)
         n_pairs = res.pairs.count()
         n_rows = res.assignments.count()
         extras["er_rows"] = n_rows

@@ -124,7 +124,7 @@ def _commit(rng: np.random.RandomState) -> str:
     return "".join("0123456789abcdef"[rng.randint(16)] for _ in range(40))
 
 
-SIZES = {"small": 600, "bench": 100000, "tiny": 60}
+SIZES = {"small": 600, "bench": 100000, "benchxl": 300000, "tiny": 60}
 
 
 def generate_corpus(out_dir: str, size: str = "small", seed: int = 42) -> dict:
@@ -237,7 +237,19 @@ def generate_corpus(out_dir: str, size: str = "small", seed: int = 42) -> dict:
             "content": pa.array([r["content"] for r in rows], pa.large_string()),
         }
     )
-    pq.write_table(corpus, os.path.join(out_dir, "corpus.parquet"))
+    # sharded layout (one dir, ~8k-row part files): read parallelism at 32
+    # CPUs needs many input files/row-groups, and a sharded corpus mirrors the
+    # partitioned-input reality of a web-scale run (resumable-output rule)
+    corpus_dir = os.path.join(out_dir, "corpus")
+    os.makedirs(corpus_dir, exist_ok=True)
+    shard_rows = 8192
+    n_shards = max(1, (corpus.num_rows + shard_rows - 1) // shard_rows)
+    for si in range(n_shards):
+        pq.write_table(
+            corpus.slice(si * shard_rows, shard_rows),
+            os.path.join(corpus_dir, f"part-{si:05d}.parquet"),
+            row_group_size=shard_rows,
+        )
 
     invariants = pa.table(
         {"file_id": pa.array(fids, pa.string()), "content_sha256": pa.array(shas, pa.string())}

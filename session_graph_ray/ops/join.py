@@ -135,19 +135,43 @@ def bucket_join(
     r2 = right.map_batches(pad(1, right_on, rcols, lcols, ltypes), batch_format="pyarrow")
 
     pd_how = {"inner": "inner", "left_outer": "left", "left": "left"}[how]
+    pa_how = {"inner": "inner", "left_outer": "left outer", "left": "left outer"}[how]
 
-    def merge_bucket(g: pd.DataFrame):
-        lg = g[g["__side"] == 0][lcols]
-        rg = g[g["__side"] == 1][rcols]
-        out = lg.merge(rg, how=pd_how, left_on=left_on, right_on=right_on)
-        # emit Arrow with a pinned schema so chained joins / empty buckets
-        # keep a stable, introspectable type signature
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(g.column("__side"), pa.scalar(0))
+        lg = g.filter(mask).select(lcols).cast(
+            pa.schema([(c, ltypes[c]) for c in lcols])
+        )
+        rg = g.filter(pc.invert(mask)).select(rcols).cast(
+            pa.schema([(c, rtypes[c]) for c in rcols])
+        )
         try:
-            return pa.Table.from_pandas(out, schema=target_schema, preserve_index=False)
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
-            return pa.Table.from_pandas(out, preserve_index=False)
+            # acero hash join per bucket: zero pandas string conversion.
+            # (The Ray-level JoinOperator bug is in plan-time key resolution,
+            # not in acero itself — here both tables are literal in-memory.)
+            out = lg.join(rg, keys=[left_on], right_keys=[right_on],
+                          join_type=pa_how, use_threads=False)
+            # acero omits the right key column; restore it for schema parity
+            # with the pandas-merge contract (downstream never reads its
+            # values, only the column's presence/type)
+            if right_on not in out.column_names:
+                out = out.append_column(
+                    right_on, pc.cast(out.column(left_on), rtypes[right_on])
+                )
+            return out.select(target_schema.names).cast(target_schema)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            lpd = lg.to_pandas()
+            rpd = rg.to_pandas()
+            out = lpd.merge(rpd, how=pd_how, left_on=left_on, right_on=right_on)
+            try:
+                return pa.Table.from_pandas(out, schema=target_schema,
+                                            preserve_index=False)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                return pa.Table.from_pandas(out, preserve_index=False)
 
-    return l2.union(r2).groupby("__bkt").map_groups(merge_bucket, batch_format="pandas")
+    return l2.union(r2).groupby("__bkt").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def hash_join(

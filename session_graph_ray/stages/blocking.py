@@ -113,39 +113,72 @@ def block_census(
     broadcast via ``ray.put`` (at extreme corpus scale the keep-set becomes a
     distributed semi-join against the sizes table instead — same plan shape).
     """
-    sizes = keys_ds.groupby("block_key").aggregate(Count(alias_name="n"))
+    # bucketed count: a native groupby here sort-shuffles millions of distinct
+    # key strings (~20s at bench scale); bucketing shuffles on B small ints
+    # and counts with vectorized pandas value_counts inside each bucket
+    B = cfg.join_partitions * 4
 
-    def non_singleton(t: pa.Table) -> pa.Table:
-        return t.filter(pa.compute.greater_equal(t["n"], pa.scalar(2)))
+    def add_bkt(t: pa.Table) -> pa.Table:
+        ks = t.column("block_key").to_pylist()
+        bkt = [zlib.crc32(k.encode()) % B for k in ks]
+        return pa.table(
+            {"block_key": t.column("block_key"),
+             "__bkt": pa.array(bkt, pa.int32())}
+        )
 
-    multi = sizes.map_batches(non_singleton, batch_format="pyarrow").to_pandas()
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["block_key"].value_counts()
+        vc = vc[vc >= 2]
+        return pd.DataFrame({"block_key": vc.index, "n": vc.to_numpy()})
+
+    multi = (
+        keys_ds.map_batches(add_bkt, batch_format="pyarrow",
+                            batch_size=cfg.pair_batch_size)
+        .groupby("__bkt")
+        .map_groups(count_bucket, batch_format="pandas")
+        .to_pandas()
+    )
     hot = {
         k: int(np.ceil(n / cfg.block_cap))
         for k, n in zip(multi["block_key"], multi["n"])
         if n > cfg.block_cap
     }
-    return hot, set(multi["block_key"])
+    # keep-set as a SORTED crc32 array: pickles/broadcasts 10x faster than a
+    # Python string set and filters via vectorized np.isin. crc collisions
+    # only cause a singleton block to survive pruning (still yields no pairs).
+    from ..functions.hashing import crc32_np
+
+    keep = np.sort(crc32_np(list(multi["block_key"])))
+    return hot, keep
 
 
 def _salt_batch_factory(hot_ref, keep_ref, cfg: ERConfig):
-    """Fused prune + salt pass: drop singleton-block keys, split hot blocks."""
+    """Fused prune + salt pass: drop singleton-block keys, split hot blocks.
+
+    Prune is vectorized: np.isin of batch key crcs against the broadcast
+    sorted keep array. Salting stays a dict lookup — the hot dict holds only
+    heavy-hitter keys (a handful)."""
+    from ..functions.hashing import crc32_np
 
     def salt(batch: pa.Table) -> pa.Table:
         hot: dict[str, int] = ray.get(hot_ref) if hot_ref is not None else {}
-        keep: set[str] | None = ray.get(keep_ref) if keep_ref is not None else None
+        keep = ray.get(keep_ref) if keep_ref is not None else None
         keys = batch.column("block_key").to_pylist()
-        fids = batch.column("file_id").to_pylist()
-        out_k, out_f = [], []
-        for k, f in zip(keys, fids):
-            if keep is not None and k not in keep:
-                continue  # singleton block: no pairs possible
-            n = hot.get(k)
-            out_k.append(f"{k}#{zlib.crc32(f.encode()) % n}" if n else k)
-            out_f.append(f)
-        return pa.table(
-            {"block_key": pa.array(out_k, pa.string()),
-             "file_id": pa.array(out_f, pa.string())}
-        )
+        if keep is not None and len(keys):
+            mask = np.isin(crc32_np(keys), keep, assume_unique=False)
+            batch = batch.filter(pa.array(mask))
+            keys = batch.column("block_key").to_pylist()
+        if hot:
+            fids = batch.column("file_id").to_pylist()
+            keys = [
+                f"{k}#{zlib.crc32(f.encode()) % hot[k]}" if k in hot else k
+                for k, f in zip(keys, fids)
+            ]
+            batch = batch.set_column(
+                batch.schema.get_field_index("block_key"), "block_key",
+                pa.array(keys, pa.string()),
+            )
+        return batch.select(["block_key", "file_id"])
 
     return salt
 
@@ -210,34 +243,30 @@ def candidate_pairs(
     )
     raw_pairs = pairs_via_self_join(salted, cfg)
 
-    def add_route(batch: pa.Table) -> pa.Table:
+    # cross-key dedup, bucketed: a native groupby on millions of distinct
+    # pair-key strings sort-shuffles them (~30s at bench scale); bucketing by
+    # crc(id_a) shuffles small ints and dedups with a vectorized pandas
+    # groupby inside each bucket (same pair always lands in the same bucket)
+    B = cfg.join_partitions * 4
+
+    def add_route_bkt(batch: pa.Table) -> pa.Table:
         keys = batch.column("block_key").to_pylist()
         ids_a = batch.column("id_a").to_pylist()
-        ids_b = batch.column("id_b").to_pylist()
         route = [0 if k.startswith("sha:") else 1 for k in keys]
-        pair_key = [f"{a}|{b}" for a, b in zip(ids_a, ids_b)]
-        return batch.append_column("route", pa.array(route, pa.int32())).append_column(
-            "pair_key", pa.array(pair_key, pa.string())
-        )
+        bkt = [zlib.crc32(a.encode()) % B for a in ids_a]
+        return batch.append_column(
+            "route", pa.array(route, pa.int32())
+        ).append_column("__bkt", pa.array(bkt, pa.int32()))
 
-    routed = raw_pairs.map_batches(add_route, batch_format="pyarrow",
-                                   batch_size=cfg.pair_batch_size)
-    deduped = routed.groupby("pair_key").aggregate(
-        Min("route", alias_name="route"), Min("block_key", alias_name="block_key")
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["id_a", "id_b"], as_index=False).agg(
+            block_key=("block_key", "min"), route=("route", "min")
+        )
+        return out[["id_a", "id_b", "block_key", "route"]]
+
+    return (
+        raw_pairs.map_batches(add_route_bkt, batch_format="pyarrow",
+                              batch_size=cfg.pair_batch_size)
+        .groupby("__bkt")
+        .map_groups(dedup_bucket, batch_format="pandas")
     )
-
-    def split_pair_key(batch: pa.Table) -> pa.Table:
-        pk = batch.column("pair_key").to_pylist()
-        a = [s.split("|", 1)[0] for s in pk]
-        b = [s.split("|", 1)[1] for s in pk]
-        return pa.table(
-            {
-                "id_a": pa.array(a, pa.string()),
-                "id_b": pa.array(b, pa.string()),
-                "block_key": batch.column("block_key"),
-                "route": batch.column("route"),
-            }
-        )
-
-    return deduped.map_batches(split_pair_key, batch_format="pyarrow",
-                               batch_size=cfg.pair_batch_size)

@@ -29,8 +29,6 @@ from __future__ import annotations
 
 import zlib
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -71,64 +69,79 @@ def propagate_labels(
     (per-round lineage checkpointing hook)."""
     from ..ops.join import bucket_join, rename_batches
 
-    def as_str_edges(batch: pa.Table) -> pa.Table:
+    def bidirect(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch.column("id_a"), pa.string()).combine_chunks()
+        b = pc.cast(batch.column("id_b"), pa.string()).combine_chunks()
         return pa.table(
-            {
-                "id_a": pc.cast(batch.column("id_a"), pa.string()),
-                "id_b": pc.cast(batch.column("id_b"), pa.string()),
-            }
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
         )
 
-    edges = (
+    # one bidirectional edge table => ONE join per round instead of two
+    bidir = (
         edges.select_columns(["id_a", "id_b"])
-        .map_batches(as_str_edges, batch_format="pyarrow")
-        .repartition(cfg.join_partitions)  # coalesce: consumed 2x per round
+        .map_batches(bidirect, batch_format="pyarrow")
+        .repartition(cfg.join_partitions)
         .materialize()
     )
-    if edges.count() == 0:  # nothing to merge: all-singleton corpus
+    if bidir.count() == 0:  # nothing to merge: all-singleton corpus
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.string()),
                       "label": pa.array([], pa.string())})
         )
 
     def init_labels(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").combine_chunks()
-        b = batch.column("id_b").combine_chunks()
-        node = pa.concat_arrays([a, b])
-        return pa.table({"node": node, "label": node})
+        # seed with min(self, neighbors): equals the result of round 1 at no
+        # extra shuffle cost — star-shaped clusters then converge in 1 round
+        src = batch.column("src").combine_chunks()
+        dst = batch.column("dst").combine_chunks()
+        return pa.table(
+            {"node": pa.concat_arrays([src, src]),
+             "label": pa.concat_arrays([src, dst])}
+        )
+
+    B = cfg.join_partitions * 4
+
+    def _min_by_node(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        """groupby(node).min(label), bucketed: the native aggregate
+        sort-shuffles every distinct node string; bucketing shuffles B small
+        ints and reduces with one vectorized pandas groupby per bucket."""
+
+        def add_bkt(t: pa.Table) -> pa.Table:
+            nodes = t.column("node").to_pylist()
+            bkt = [zlib.crc32(n.encode()) % B for n in nodes]
+            return t.append_column("__bkt", pa.array(bkt, pa.int32()))
+
+        import pandas as pd
+
+        def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False)["label"].min()
+
+        return (
+            ds.map_batches(add_bkt, batch_format="pyarrow")
+            .groupby("__bkt")
+            .map_groups(min_bucket, batch_format="pandas")
+        )
 
     labels = (
-        edges.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
+        _min_by_node(bidir.map_batches(init_labels, batch_format="pyarrow"))
         .repartition(cfg.join_partitions)
         .materialize()
     )
 
-    def _msgs(to_col: str, on_col: str, lab: "ray.data.Dataset"):
-        j = bucket_join(
-            edges, lab, left_on=on_col, right_on="node_l",
-            num_buckets=cfg.join_partitions * 4,
-            left_schema=pa.schema([("id_a", pa.string()), ("id_b", pa.string())]),
-            right_schema=pa.schema([("node_l", pa.string()), ("label_l", pa.string())]),
-        )
-        return j.map_batches(
-            lambda t, c=to_col: pa.table(
-                {"node": t.column(c), "label": t.column("label_l")}
-            ),
-            batch_format="pyarrow",
-        )
-
     prev_sum = _label_checksum(labels)
     for rnd in range(cfg.max_cluster_rounds):
         lab = rename_batches(labels, {"node": "node_l", "label": "label_l"})
-        m1 = _msgs("id_b", "id_a", lab)
-        m2 = _msgs("id_a", "id_b", lab)
+        msgs = bucket_join(
+            bidir, lab, left_on="src", right_on="node_l",
+            num_buckets=cfg.join_partitions * 4,
+            left_schema=pa.schema([("src", pa.string()), ("dst", pa.string())]),
+            right_schema=pa.schema([("node_l", pa.string()), ("label_l", pa.string())]),
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("dst"), "label": t.column("label_l")}),
+            batch_format="pyarrow",
+        )
         new_labels = (
-            m1.union(m2)
-            .union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            _min_by_node(msgs.union(labels))
             .repartition(cfg.join_partitions)
             .materialize()
         )

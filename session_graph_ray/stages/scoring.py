@@ -132,8 +132,19 @@ def score_pairs(
         ["file_id", "content_sha256", "stem_norm", "tokens_str", "content_trunc"]
     )
 
-    sha_pairs = pairs.filter(lambda r: r["route"] == 0)
-    fuzzy_pairs = pairs.filter(lambda r: r["route"] != 0)
+    def _route_filter(want_zero: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mask = pa.compute.equal(t["route"], pa.scalar(0))
+            return t.filter(mask if want_zero else pa.compute.invert(mask))
+
+        return f
+
+    # vectorized route split (a row-wise ds.filter(lambda) here costs seconds
+    # per million pairs)
+    sha_pairs = pairs.map_batches(_route_filter(True), batch_format="pyarrow",
+                                  batch_size=cfg.pair_batch_size)
+    fuzzy_pairs = pairs.map_batches(_route_filter(False), batch_format="pyarrow",
+                                    batch_size=cfg.pair_batch_size)
 
     def sha_to_scores(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

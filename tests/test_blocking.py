@@ -15,7 +15,7 @@ from session_graph_ray.stages.normalize import normalize
 
 
 def _norm_ds(tiny_corpus_dir):
-    return normalize(rd.read_parquet(f"{tiny_corpus_dir}/corpus.parquet"))
+    return normalize(rd.read_parquet(f"{tiny_corpus_dir}/corpus"))
 
 
 def test_key_exploder_families(tiny_corpus_dir):

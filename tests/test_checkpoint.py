@@ -19,7 +19,7 @@ def test_checkpoint_roundtrip_and_resume(tiny_corpus_dir, tmp_path):
     ck = str(tmp_path / "ckpt")
     cfg = ERConfig().scaled(4)
 
-    res1 = run_er_pipeline(f"{tiny_corpus_dir}/corpus.parquet", cfg, checkpoint_dir=ck)
+    res1 = run_er_pipeline(f"{tiny_corpus_dir}/corpus", cfg, checkpoint_dir=ck)
     base = _assign_map(res1)
 
     with open(os.path.join(ck, "manifest.json")) as f:
@@ -29,14 +29,14 @@ def test_checkpoint_roundtrip_and_resume(tiny_corpus_dir, tmp_path):
         assert manifest["stages"][s]["partitions"], s
 
     # full rerun: every stage resumes from parquet
-    res2 = run_er_pipeline(f"{tiny_corpus_dir}/corpus.parquet", cfg, checkpoint_dir=ck)
+    res2 = run_er_pipeline(f"{tiny_corpus_dir}/corpus", cfg, checkpoint_dir=ck)
     assert all(res2.metrics[s]["resumed"] for s in STAGE_ORDER)
     assert _assign_map(res2) == base
 
     # simulate a kill after 'scores': later stages are wiped, earlier kept
     cm = CheckpointManager(ck)
     cm.invalidate_from("edges", STAGE_ORDER)
-    res3 = run_er_pipeline(f"{tiny_corpus_dir}/corpus.parquet", cfg, checkpoint_dir=ck)
+    res3 = run_er_pipeline(f"{tiny_corpus_dir}/corpus", cfg, checkpoint_dir=ck)
     assert res3.metrics["features"]["resumed"]
     assert res3.metrics["scores"]["resumed"]
     assert not res3.metrics["edges"]["resumed"]
@@ -46,7 +46,7 @@ def test_checkpoint_roundtrip_and_resume(tiny_corpus_dir, tmp_path):
 def test_config_change_invalidates(tiny_corpus_dir, tmp_path):
     ck = str(tmp_path / "ckpt2")
     cfg = ERConfig().scaled(4)
-    run_er_pipeline(f"{tiny_corpus_dir}/corpus.parquet", cfg, checkpoint_dir=ck)
+    run_er_pipeline(f"{tiny_corpus_dir}/corpus", cfg, checkpoint_dir=ck)
     cfg2 = ERConfig(score_threshold=0.8).scaled(4)
-    res = run_er_pipeline(f"{tiny_corpus_dir}/corpus.parquet", cfg2, checkpoint_dir=ck)
+    res = run_er_pipeline(f"{tiny_corpus_dir}/corpus", cfg2, checkpoint_dir=ck)
     assert not res.metrics["features"]["resumed"]  # fingerprint includes config

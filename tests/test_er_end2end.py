@@ -10,7 +10,7 @@ from session_graph_ray.pipelines.er import match_metrics, run_er_pipeline
 
 
 def test_er_tiny_f1_and_clusters(tiny_corpus_dir):
-    res = run_er_pipeline(f"{tiny_corpus_dir}/corpus.parquet")
+    res = run_er_pipeline(f"{tiny_corpus_dir}/corpus")
 
     f1 = pairwise_f1(res.assignments, f"{tiny_corpus_dir}/labeled_pairs.parquet")
     assert f1["f1"] >= 0.99, f1

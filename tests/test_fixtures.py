@@ -16,7 +16,7 @@ def test_generator_deterministic(tmp_path):
     s1 = generate_corpus(d1, size="tiny")
     s2 = generate_corpus(d2, size="tiny")
     assert s1["rows"] == s2["rows"]
-    for f in ["corpus.parquet", "labeled_pairs.parquet",
+    for f in ["corpus/part-00000.parquet", "labeled_pairs.parquet",
               "expected_clusters.parquet", "invariants.parquet"]:
         assert _file_hash(f"{d1}/{f}") == _file_hash(f"{d2}/{f}"), f
 

@@ -12,7 +12,7 @@ from session_graph_ray.stages.normalize import features_view, normalize
 
 
 def test_sha_invariant_and_multiset(tiny_corpus_dir):
-    corpus = rd.read_parquet(f"{tiny_corpus_dir}/corpus.parquet")
+    corpus = rd.read_parquet(f"{tiny_corpus_dir}/corpus")
     norm = normalize(corpus)
     tbl = norm.to_pandas()
 
@@ -28,7 +28,7 @@ def test_sha_invariant_and_multiset(tiny_corpus_dir):
 
 
 def test_features_view_drops_content(tiny_corpus_dir):
-    corpus = rd.read_parquet(f"{tiny_corpus_dir}/corpus.parquet")
+    corpus = rd.read_parquet(f"{tiny_corpus_dir}/corpus")
     feats = features_view(normalize(corpus))
     cols = feats.schema().names
     assert "content" not in cols  # wide-row rule: content never enters shuffles
@@ -36,7 +36,7 @@ def test_features_view_drops_content(tiny_corpus_dir):
 
 
 def test_empty_rows_not_scorable(tiny_corpus_dir):
-    corpus = rd.read_parquet(f"{tiny_corpus_dir}/corpus.parquet")
+    corpus = rd.read_parquet(f"{tiny_corpus_dir}/corpus")
     tbl = normalize(corpus).to_pandas()
     empties = tbl[tbl["content"].str.strip() == ""]
     assert len(empties) > 0  # fixture plants them
