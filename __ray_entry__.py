@@ -165,6 +165,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_substring": A.q_doc_substring,
         "exact_dedup_docs": A.q_exact_dedup_docs,
         "knn_bruteforce": A.q_knn_bruteforce,
+        "order_priorities": A.q_order_priorities,
+        "supplier_nation": A.q_supplier_nation,
+        "events_anti_join": A.q_events_anti_join,
+        "top_users_per_type": A.q_top_users_per_type,
+        "union_sources": A.q_union_sources,
+        "docs_from_jsonl": A.q_docs_from_jsonl,
         # rows-only pipelines (non-SQL-expressible)
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
@@ -269,6 +275,45 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
             FROM documents GROUP BY text
+        """,
+        "order_priorities": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   MIN(o_orderdate) AS first_date,
+                   MAX(o_orderdate) AS last_date
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "supplier_nation": f"""
+            SELECT n.n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(SUM({_CENTS.format(x='s.s_acctbal')}) AS BIGINT) AS sum_acctbal_c
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "events_anti_join": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_events
+            FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+        """,
+        "top_users_per_type": """
+            WITH counts AS (
+              SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY event_type, user_id
+            )
+            SELECT event_type, user_id, n_events FROM counts
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY n_events DESC, user_id) <= 3
+        """,
+        "union_sources": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents WHERE lang IN ('en', 'fr', 'de')
+            GROUP BY source
+        """,
+        "docs_from_jsonl": """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -25,6 +25,13 @@ class ERConfig:
     w_lev: float = 0.35          # Levenshtein similarity on truncated content
     score_threshold: float = 0.70
 
+    # scorer feature access: at or below this many feature rows the scorer
+    # actor pool holds the whole (compact) feature table zero-copy from the
+    # object store with a hash index built once per actor — no enrichment
+    # shuffle at all. Above it, features join in via the partitioned
+    # bucket_join path (the 10^12-row plan, where features exceed node RAM).
+    feature_broadcast_limit: int = 5_000_000
+
     # --- execution --------------------------------------------------------
     batch_size: int = 2048
     pair_batch_size: int = 8192

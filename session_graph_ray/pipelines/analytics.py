@@ -268,3 +268,124 @@ def q_knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> "rd.Datase
     qids = [int(r["vec_id"]) for r in qrows]
     out = brute_force_topk(emb, queries, qids, k=k)
     return out.select_columns(["query_id", "vec_id"])
+
+
+def q_order_priorities(sf_dir: str) -> "rd.Dataset":
+    """Simple grouped count with min/max aggregates over timestamps."""
+    from ray.data.aggregate import Max, Min
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderpriority", "o_orderdate"])
+    return orders.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"),
+        Min("o_orderdate", alias_name="first_date"),
+        Max("o_orderdate", alias_name="last_date"),
+    )
+
+
+def q_supplier_nation(sf_dir: str) -> "rd.Dataset":
+    """Broadcast dim join + grouped aggregate over the supplier table."""
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_nationkey", "s_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"s_nationkey": pc.cast(t["s_nationkey"], pa.int32()),
+             "acctbal_c": _cents(t["s_acctbal"])}
+        )
+
+    return (
+        broadcast_join(
+            sup.map_batches(prep, batch_format="pyarrow"),
+            nation, left_on="s_nationkey", right_on="n_nationkey",
+        )
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_suppliers"),
+                   Sum("acctbal_c", alias_name="sum_acctbal_c"))
+    )
+
+
+def q_events_anti_join(sf_dir: str) -> pd.DataFrame:
+    """Anti-join via broadcast key set (the reference's cache-miss pattern,
+    /root/reference/pipeline/link_entities.py:604-641): events whose user has
+    no customer record."""
+    import ray
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    keys = np.sort(cust["c_custkey"].to_numpy())
+    kref = ray.put(keys)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        ks = _r.get(kref)
+        uid = t.column("user_id").to_numpy()
+        mask = ~np.isin(uid, ks)
+        return pa.table({"user_id": pa.array(uid[mask], pa.int64())})
+
+    n = (
+        ev.map_batches(anti, batch_format="pyarrow", batch_size=65536)
+        .count()
+    )
+    return pd.DataFrame([{"n_orphan_events": np.int64(n)}])
+
+
+def q_top_users_per_type(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Grouped top-k (the reference's hub-entity analytics, SURVEY.md A8/O7):
+    per event type, the k most active users; ties broken by user_id."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    counts = ev.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="n_events")
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_events", "user_id"], ascending=[False, True]).head(k)
+        return g[["event_type", "user_id", "n_events"]]
+
+    return counts.groupby("event_type").map_groups(topk, batch_format="pandas")
+
+
+def q_union_sources(sf_dir: str) -> "rd.Dataset":
+    """Dataset.union of per-source subsets then one aggregate (the reference's
+    union of per-platform graphs, SURVEY.md D4 / README.md:138)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+
+    def pick(langs):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["lang"], value_set=pa.array(langs)))
+
+        return f
+
+    en = docs.map_batches(pick(["en"]), batch_format="pyarrow")
+    fr_de = docs.map_batches(pick(["fr", "de"]), batch_format="pyarrow")
+    return en.union(fr_de).groupby("source").aggregate(Count(alias_name="n_docs"))
+
+
+def q_docs_from_jsonl(sf_dir: str) -> "rd.Dataset":
+    """JSONL source reader (reference S1, /root/reference/pipeline/
+    jsonl_to_rdf.py:59-77): documents round-tripped through line-delimited
+    JSON in /tmp, then read with ray.data.read_json and aggregated."""
+    import hashlib
+    import json
+    import os
+
+    src = f"{sf_dir}/documents.parquet"
+    tag = hashlib.sha256(src.encode()).hexdigest()[:12]
+    jdir = f"/tmp/sgr_jsonl/{tag}"
+    if not os.path.isdir(jdir):
+        os.makedirs(jdir, exist_ok=True)
+        df = pd.read_parquet(src, columns=["doc_id", "lang", "n_chars"])
+        with open(f"{jdir}/docs.jsonl", "w") as f:
+            for r in df.itertuples(index=False):
+                f.write(json.dumps(
+                    {"doc_id": int(r.doc_id), "lang": r.lang,
+                     "n_chars": int(r.n_chars)}) + "\n")
+    ds = rd.read_json(jdir)
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )

@@ -62,10 +62,24 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     out = out.append_column("lang_norm", pa.array(lang_norm, pa.string()))
     out = out.append_column("stem_norm", pa.array(stem_norm, pa.string()))
     out = out.append_column("tokens", pa.array(tokens, pa.list_(pa.string())))
-    # join-safe serialized form: Arrow acero joins reject list<> payload
-    # columns, so the feature view carries tokens as a \x1f-joined string
+    # join-safe serialized forms: Arrow acero joins reject list<> payload
+    # columns. tokens_bin = sorted crc32 hashes packed little-endian uint32 —
+    # compact through shuffles and zero-parse for the scorer's np.intersect1d
     out = out.append_column(
         "tokens_str", pa.array(["\x1f".join(t) for t in tokens], pa.string())
+    )
+    from ..functions.hashing import crc32_np
+    import numpy as np
+
+    out = out.append_column(
+        "tokens_bin",
+        pa.array(
+            [
+                np.unique(crc32_np(t)).astype("<u4").tobytes() if t else b""
+                for t in tokens
+            ],
+            pa.binary(),
+        ),
     )
     out = out.append_column("content_trunc", pa.array(trunc, pa.string()))
     out = out.append_column(
@@ -87,6 +101,6 @@ def features_view(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """The compact per-file feature table carried through shuffles/joins —
     ``content`` projected away (it dominates memory at 100 TB scale)."""
     return ds.select_columns(
-        ["file_id", "content_sha256", "lang_norm", "stem_norm", "tokens_str",
+        ["file_id", "content_sha256", "lang_norm", "stem_norm", "tokens_bin",
          "content_trunc", "scorable"]
     )

@@ -27,43 +27,30 @@ emitted at score 1.0 straight from the pair table.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
 
 from ..config import ERConfig
 
-_SCORE_SQL_TEMPLATE = """
-WITH feat AS (
-  SELECT
-    id_a, id_b, block_key,
-    sha_a = sha_b AS exact,
-    jaro_winkler_similarity(stem_a, stem_b) AS jw_raw,
-    CASE WHEN tokens_a = '' OR tokens_b = '' THEN 0.0
-         ELSE COALESCE(
-           len(list_intersect(string_split(tokens_a, chr(31)),
-                              string_split(tokens_b, chr(31))))::DOUBLE
-             / NULLIF(len(list_distinct(list_concat(
-                 string_split(tokens_a, chr(31)),
-                 string_split(tokens_b, chr(31))))), 0),
-           0.0) END AS tj_raw,
-    1.0 - levenshtein(trunc_a, trunc_b)::DOUBLE
-        / GREATEST(len(trunc_a), len(trunc_b), 1) AS lev_raw
-  FROM batch
-)
-SELECT
-  id_a, id_b, block_key,
-  CASE WHEN exact THEN 1.0 ELSE jw_raw END  AS jw,
-  CASE WHEN exact THEN 1.0 ELSE tj_raw END  AS tj,
-  CASE WHEN exact THEN 1.0 ELSE lev_raw END AS lev_sim,
-  CASE WHEN exact THEN 1.0
-       ELSE {w_jw} * jw_raw + {w_tj} * tj_raw + {w_lev} * lev_raw END AS score
-FROM feat
-"""
-
-
 class PairScorer:
-    """Callable class for ``map_batches`` — one DuckDB connection per actor."""
+    """Callable class for ``map_batches`` — one DuckDB connection per actor.
+
+    Kernel budget per fuzzy pair (measured, this container):
+    DuckDB ``jaro_winkler_similarity`` ~1µs; ``levenshtein`` on 256 chars
+    ~300µs; ``list_intersect`` on 150-token lists ~590µs. So:
+
+    - token-Jaccard runs in numpy — tokens are SORTED in normalize, so
+      intersection is crc-hash + ``np.intersect1d`` (~30µs/pair);
+    - Levenshtein is LAZY: with score = w_jw*jw + w_tj*tj + w_lev*lev and
+      lev ∈ [0,1], a pair whose upper bound w_jw*jw + w_tj*tj + w_lev < τ
+      can never match — the bulk of same-stem garbage pairs skip the
+      quadratic kernel entirely. Every EMITTED edge carries the full exact
+      score (accept is impossible without the lev term since
+      w_jw + w_tj < τ); rejected rows record score = upper bound and
+      lev_sim = 1.0 (the bound's lev value), both below τ by construction.
+    """
 
     def __init__(self, cfg: ERConfig):
         import duckdb
@@ -71,17 +58,78 @@ class PairScorer:
         self.cfg = cfg
         self.con = duckdb.connect()
         self.con.execute("SET threads TO 1")  # the actor owns exactly 1 CPU
-        self.sql = _SCORE_SQL_TEMPLATE.format(
-            w_jw=cfg.w_jw, w_tj=cfg.w_tj, w_lev=cfg.w_lev
-        )
+
+    def _token_jaccard(self, ta: list[bytes], tb: list[bytes]) -> np.ndarray:
+        """Pre-hashed sorted-unique uint32 token sets -> exact Jaccard."""
+        out = np.zeros(len(ta))
+        for i, (a, b) in enumerate(zip(ta, tb)):
+            if not a or not b:
+                continue
+            ha = np.frombuffer(a, dtype="<u4")
+            hb = np.frombuffer(b, dtype="<u4")
+            inter = np.intersect1d(ha, hb, assume_unique=True).size
+            union = ha.size + hb.size - inter
+            out[i] = inter / union if union else 0.0
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_scores()
+        cfg = self.cfg
+        n = batch.num_rows
+        sha_a = batch.column("sha_a").to_pylist()
+        sha_b = batch.column("sha_b").to_pylist()
+        exact = np.array([x == y for x, y in zip(sha_a, sha_b)])
+
         self.con.register("batch", batch)
-        out = self.con.execute(self.sql).arrow()
+        jw = (
+            self.con.execute(
+                "SELECT jaro_winkler_similarity(stem_a, stem_b) AS jw FROM batch"
+            )
+            .arrow()
+            .column("jw")
+            .to_numpy(zero_copy_only=False)
+        )
+        tj = self._token_jaccard(
+            batch.column("tokens_a").to_pylist(), batch.column("tokens_b").to_pylist()
+        )
+
+        upper = cfg.w_jw * jw + cfg.w_tj * tj + cfg.w_lev
+        need_lev = (~exact) & (upper >= cfg.score_threshold)
+        lev = np.ones(n)
+        if need_lev.any():
+            idx = np.flatnonzero(need_lev)
+            sub = batch.select(["trunc_a", "trunc_b"]).take(pa.array(idx))
+            self.con.register("sub", sub)
+            lev_sub = (
+                self.con.execute(
+                    "SELECT 1.0 - levenshtein(trunc_a, trunc_b)::DOUBLE"
+                    " / GREATEST(len(trunc_a), len(trunc_b), 1) AS l FROM sub"
+                )
+                .arrow()
+                .column("l")
+                .to_numpy(zero_copy_only=False)
+            )
+            self.con.unregister("sub")
+            lev[idx] = lev_sub
         self.con.unregister("batch")
-        return out.cast(_scores_schema())
+
+        score = cfg.w_jw * jw + cfg.w_tj * tj + cfg.w_lev * lev
+        jw = np.where(exact, 1.0, jw)
+        tj = np.where(exact, 1.0, tj)
+        lev = np.where(exact, 1.0, lev)
+        score = np.where(exact, 1.0, score)
+        return pa.table(
+            {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "block_key": batch.column("block_key"),
+                "jw": pa.array(jw, pa.float64()),
+                "tj": pa.array(tj, pa.float64()),
+                "lev_sim": pa.array(lev, pa.float64()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
 
 
 def _scores_schema() -> pa.Schema:
@@ -102,6 +150,53 @@ def _empty_scores() -> pa.Table:
     return _scores_schema().empty_table()
 
 
+class IndexedPairScorer(PairScorer):
+    """PairScorer whose feature lookup is an in-actor index, not a join.
+
+    ``__init__`` fetches the consolidated feature table from the object store
+    (``ray.get`` of a plasma ref — zero-copy Arrow buffers shared across all
+    actors on the node) and builds a file_id -> row-index dict ONCE per actor
+    (the reference's load-state-once worker pattern,
+    ``/root/reference/pipeline/llm_providers.py:65-228``). ``__call__`` takes
+    a NARROW pair batch, gathers both sides' feature rows with vectorized
+    ``Table.take``, and scores. Eliminates the wide enrichment shuffle — the
+    dominant cost of the join path (154s of a 426s benchxl run).
+    """
+
+    def __init__(self, cfg: ERConfig, feat_ref):
+        super().__init__(cfg)
+        import ray as _ray
+
+        self.feat = _ray.get(feat_ref)
+        ids = self.feat.column("file_id").to_pylist()
+        self.index = {fid: i for i, fid in enumerate(ids)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_scores()
+        idx = self.index
+        ia = [idx[f] for f in batch.column("id_a").to_pylist()]
+        ib = [idx[f] for f in batch.column("id_b").to_pylist()]
+        fa = self.feat.take(pa.array(ia, pa.int64()))
+        fb = self.feat.take(pa.array(ib, pa.int64()))
+        enriched = pa.table(
+            {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "block_key": batch.column("block_key"),
+                "sha_a": fa.column("content_sha256"),
+                "sha_b": fb.column("content_sha256"),
+                "stem_a": fa.column("stem_norm"),
+                "stem_b": fb.column("stem_norm"),
+                "tokens_a": fa.column("tokens_bin"),
+                "tokens_b": fb.column("tokens_bin"),
+                "trunc_a": fa.column("content_trunc"),
+                "trunc_b": fb.column("content_trunc"),
+            }
+        )
+        return super().__call__(enriched)
+
+
 def _rename_for_side(ds: "ray.data.Dataset", side: str) -> "ray.data.Dataset":
     from ..ops.join import rename_batches
 
@@ -111,7 +206,7 @@ def _rename_for_side(ds: "ray.data.Dataset", side: str) -> "ray.data.Dataset":
             "file_id": f"fid_{side}",
             "content_sha256": f"sha_{side}",
             "stem_norm": f"stem_{side}",
-            "tokens_str": f"tokens_{side}",
+            "tokens_bin": f"tokens_{side}",
             "content_trunc": f"trunc_{side}",
         },
     )
@@ -129,7 +224,7 @@ def score_pairs(
     caches negative results too, ``link_entities.py:283-329``).
     """
     feat = features.select_columns(
-        ["file_id", "content_sha256", "stem_norm", "tokens_str", "content_trunc"]
+        ["file_id", "content_sha256", "stem_norm", "tokens_bin", "content_trunc"]
     )
 
     def _route_filter(want_zero: bool):
@@ -165,6 +260,25 @@ def score_pairs(
         sha_to_scores, batch_format="pyarrow", batch_size=cfg.pair_batch_size
     )
 
+    # fast path: features fit the object store -> indexed scorer, no join
+    n_feat = feat.count()
+    if n_feat <= cfg.feature_broadcast_limit:
+        import ray as _ray
+
+        feat_tbl = pa.concat_tables(
+            _ray.get(feat.to_arrow_refs())
+        ).combine_chunks()
+        feat_ref = _ray.put(feat_tbl)
+        fuzzy_scored = fuzzy_pairs.map_batches(
+            IndexedPairScorer,
+            fn_constructor_args=(cfg, feat_ref),
+            batch_format="pyarrow",
+            batch_size=cfg.pair_batch_size,
+            concurrency=cfg.scorer_concurrency,
+            num_cpus=1,
+        )
+        return exact_scored.union(fuzzy_scored)
+
     from ..ops.join import bucket_join
 
     fa = _rename_for_side(feat, "a")
@@ -172,7 +286,7 @@ def score_pairs(
     def _feat_schema(side: str) -> pa.Schema:
         return pa.schema(
             [(f"fid_{side}", pa.string()), (f"sha_{side}", pa.string()),
-             (f"stem_{side}", pa.string()), (f"tokens_{side}", pa.string()),
+             (f"stem_{side}", pa.string()), (f"tokens_{side}", pa.binary()),
              (f"trunc_{side}", pa.string())]
         )
 

@@ -32,7 +32,7 @@ def test_features_view_drops_content(tiny_corpus_dir):
     feats = features_view(normalize(corpus))
     cols = feats.schema().names
     assert "content" not in cols  # wide-row rule: content never enters shuffles
-    assert {"file_id", "content_sha256", "stem_norm", "tokens_str"} <= set(cols)
+    assert {"file_id", "content_sha256", "stem_norm", "tokens_bin"} <= set(cols)
 
 
 def test_empty_rows_not_scorable(tiny_corpus_dir):

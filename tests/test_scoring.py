@@ -7,6 +7,17 @@ from session_graph_ray.config import ERConfig
 from session_graph_ray.stages.scoring import PairScorer
 
 
+def _tok(words):
+    """Pack a token set the way normalize does: sorted unique crc32 uint32."""
+    import numpy as np
+
+    from session_graph_ray.functions.hashing import crc32_np
+
+    if not words:
+        return b""
+    return np.unique(crc32_np(sorted(words))).astype("<u4").tobytes()
+
+
 def _pair_batch(rows):
     cols = {
         "id_a": [], "id_b": [], "block_key": [],
@@ -16,14 +27,20 @@ def _pair_batch(rows):
     for r in rows:
         for k in cols:
             cols[k].append(r[k])
-    return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+    out = {}
+    for k, v in cols.items():
+        if k.startswith("tokens_"):
+            out[k] = pa.array(v, pa.binary())
+        else:
+            out[k] = pa.array(v, pa.string())
+    return pa.table(out)
 
 
 def test_exact_sha_short_circuit():
     b = _pair_batch([
         dict(id_a="a", id_b="b", block_key="sha:x",
              sha_a="h1", sha_b="h1", stem_a="totally", stem_b="different",
-             tokens_a="", tokens_b="", trunc_a="x", trunc_b="zzzz")
+             tokens_a=b"", tokens_b=b"", trunc_a="x", trunc_b="zzzz")
     ])
     out = PairScorer(ERConfig())(b).to_pydict()
     assert out["score"] == [1.0]
@@ -31,10 +48,10 @@ def test_exact_sha_short_circuit():
 
 
 def test_near_duplicate_scores_above_threshold():
-    toks = "\x1f".join(sorted({"alpha", "beta", "gamma", "delta", "epsilon",
-                               "zeta", "eta", "theta", "iota", "kappa"}))
-    toks_edit = "\x1f".join(sorted({"alpha", "beta", "gamma", "delta", "epsilon",
-                                    "zeta", "eta", "theta", "iota", "lambda"}))
+    toks = _tok({"alpha", "beta", "gamma", "delta", "epsilon",
+                 "zeta", "eta", "theta", "iota", "kappa"})
+    toks_edit = _tok({"alpha", "beta", "gamma", "delta", "epsilon",
+                      "zeta", "eta", "theta", "iota", "lambda"})
     content = "def alpha(beta):\n    return gamma + delta\n" * 4
     content_edit = content.replace("delta", "felta", 1)
     b = _pair_batch([
@@ -51,8 +68,8 @@ def test_unrelated_pair_scores_below_threshold():
     b = _pair_batch([
         dict(id_a="a", id_b="b", block_key="stem:python:init",
              sha_a="h1", sha_b="h2", stem_a="init", stem_b="init",
-             tokens_a="\x1f".join(["aa", "bb", "cc", "dd"]),
-             tokens_b="\x1f".join(["ww", "xx", "yy", "zz"]),
+             tokens_a=_tok(["aa", "bb", "cc", "dd"]),
+             tokens_b=_tok(["ww", "xx", "yy", "zz"]),
              trunc_a="import os\nAA = 1\nBB = 2\n",
              trunc_b="class Widget:\n    def render(self): ...\n")
     ])
@@ -64,7 +81,7 @@ def test_empty_tokens_no_false_jaccard():
     b = _pair_batch([
         dict(id_a="a", id_b="b", block_key="stem:python:x",
              sha_a="h1", sha_b="h2", stem_a="x", stem_b="x",
-             tokens_a="", tokens_b="", trunc_a="foo", trunc_b="bar")
+             tokens_a=b"", tokens_b=b"", trunc_a="foo", trunc_b="bar")
     ])
     out = PairScorer(ERConfig())(b).to_pydict()
     assert out["tj"] == [0.0]
