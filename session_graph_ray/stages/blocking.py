@@ -165,7 +165,12 @@ def _salt_batch_factory(hot_ref, keep_ref, cfg: ERConfig):
         keep = ray.get(keep_ref) if keep_ref is not None else None
         keys = batch.column("block_key").to_pylist()
         if keep is not None and len(keys):
-            mask = np.isin(crc32_np(keys), keep, assume_unique=False)
+            # keep is pre-sorted: binary search beats np.isin (which re-sorts
+            # the whole keep array on every batch)
+            vals = crc32_np(keys)
+            pos = np.searchsorted(keep, vals)
+            in_range = pos < keep.size
+            mask = in_range & (keep[np.where(in_range, pos, 0)] == vals)
             batch = batch.filter(pa.array(mask))
             keys = batch.column("block_key").to_pylist()
         if hot:
@@ -236,7 +241,7 @@ def candidate_pairs(
     salted = (
         keys.map_batches(
             _salt_batch_factory(hot_ref, keep_ref, cfg), batch_format="pyarrow",
-            batch_size=cfg.pair_batch_size,
+            batch_size=65536,  # narrow (key, id) rows: big batches, few tasks
         )
         .repartition(cfg.join_partitions)
         .materialize()
