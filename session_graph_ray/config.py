@@ -15,8 +15,11 @@ class ERConfig:
     minhash_seed: int = 42
     shingle_k: int = 3
     content_token_cap: int = 2000
-    block_cap: int = 64          # max rows of a block before salted splitting
-    max_pairs_per_block: int = 4096  # hard ceiling after splitting (metrics-counted)
+    # max rows of a fuzzy block before chunked pair generation (chunks get
+    # all-pairs + star bridges; skipped cross-chunk pairs are metric-counted
+    # by ops.pairing — see ROUTE_METRIC). Exact-content blocks are never
+    # chunked: they emit a linear star over the block min.
+    block_cap: int = 64
 
     # --- scoring (reference: confidence >= 0.7 gate,
     #     /root/reference/pipeline/link_entities.py:57) -------------------
@@ -38,9 +41,6 @@ class ERConfig:
     scorer_concurrency: int = 4  # actor-pool size; override per run
     join_partitions: int = 32
     max_cluster_rounds: int = 12
-
-    # --- checkpointing ----------------------------------------------------
-    checkpoint_dir: str | None = None
 
     def scaled(self, num_cpus: int) -> "ERConfig":
         """Derive per-run pool sizing from the session CPU budget.

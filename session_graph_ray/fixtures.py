@@ -134,7 +134,10 @@ def generate_corpus(out_dir: str, size: str = "small", seed: int = 42) -> dict:
     generation is skipped (same seed => same bytes anyway).
     """
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, f".done-{size}-{seed}")
+    # v2: band keys follow the pipeline's numeric shingle hashing (hash64 of
+    # tokens -> rolling combine -> multiply-shift MinHash); bump on any change
+    # to the blocking key derivation so cached labels never go stale
+    marker = os.path.join(out_dir, f".done-{size}-{seed}-v2")
     if os.path.exists(marker):
         import json
 
@@ -286,12 +289,15 @@ def generate_corpus(out_dir: str, size: str = "small", seed: int = 42) -> dict:
     sig_cache: dict[int, set] = {}
 
     def bands_of(i: int) -> set:
+        # EXACTLY the pipeline's derivation (stages/blocking.explode_keys_batch):
+        # content_tokens -> hash64 -> rolling shingle combine -> minhash bands
         if i not in sig_cache:
-            sig_cache[i] = set(
-                mh.band_keys(
-                    mh.signature(token_shingles(content_tokens(rows[i]["content"])))
-                )
-            )
+            from .functions.hashing import hash64_np
+            from .functions.minhash import shingle_vals
+
+            toks = content_tokens(rows[i]["content"])
+            sig = mh.signature_from_vals(shingle_vals(hash64_np(toks), 3))
+            sig_cache[i] = set(mh.band_keys_u64(sig).tolist())
         return sig_cache[i]
 
     def stem_key(i: int) -> str:

@@ -9,6 +9,12 @@ Jaccard similarity s collides in >=1 band with prob 1-(1-s^r)^b. Defaults
 the planted edit rates (a 5% token edit has shingle Jaccard ≈ 0.74 -> band
 collision prob ≈ 0.997), and half the key volume of b=32.
 
+Hash family: Dietzfelbinger multiply-shift, h_i(x) = (a_i * x + b_i) >> 32
+with odd random 64-bit a_i — 2-universal for 32-bit outputs under uint64
+wraparound arithmetic (the wraparound IS the mod-2^64 the scheme requires,
+unlike a Mersenne-mod construction where a 64-bit overflow would silently
+break the family's guarantees).
+
 Determinism: permutation parameters derive from a fixed seed; shingle hashing
 uses crc32 (unsalted) — identical across workers and runs, unlike Python's
 per-process ``hash()``.
@@ -20,12 +26,22 @@ import zlib
 
 import numpy as np
 
-_MERSENNE = np.uint64((1 << 61) - 1)
-_MAXH = np.uint64((1 << 32) - 1)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — spreads structured uint64 inputs uniformly."""
+    x = np.asarray(x, dtype=np.uint64).copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
 
 
 class MinHasher:
-    """State-heavy object built once per actor (permutation tables)."""
+    """State-heavy object built once per worker process (permutation tables)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 42):
         assert num_perm % bands == 0
@@ -33,32 +49,65 @@ class MinHasher:
         self.bands = bands
         self.rows = num_perm // bands
         rng = np.random.RandomState(seed)
-        # universal hashing h_i(x) = ((a_i * x + b_i) mod p) mod 2^32
-        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
-        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+        # multiply-shift: a odd uint64, b uint64; h(x) = (a*x + b) >> 32
+        lo = rng.randint(0, 1 << 32, size=num_perm).astype(np.uint64)
+        hi = rng.randint(0, 1 << 32, size=num_perm).astype(np.uint64)
+        self.a = ((hi << np.uint64(32)) | lo) | np.uint64(1)
+        lo_b = rng.randint(0, 1 << 32, size=num_perm).astype(np.uint64)
+        hi_b = rng.randint(0, 1 << 32, size=num_perm).astype(np.uint64)
+        self.b = (hi_b << np.uint64(32)) | lo_b
+        # per-row fold weights for banding (odd -> bijective multipliers)
+        wl = rng.randint(0, 1 << 32, size=self.rows).astype(np.uint64)
+        wh = rng.randint(0, 1 << 32, size=self.rows).astype(np.uint64)
+        self.band_w = ((wh << np.uint64(32)) | wl) | np.uint64(1)
+
+    # ---- numeric fast path (the pipeline hot path) -----------------------
+
+    def signature_from_vals(self, vals: np.ndarray) -> np.ndarray:
+        """MinHash signature (uint64[num_perm], 32-bit values) of a set of
+        pre-hashed shingles (uint64 ndarray)."""
+        if vals.size == 0:
+            return np.full(self.num_perm, 0xFFFFFFFF, dtype=np.uint64)
+        vals = np.asarray(vals, dtype=np.uint64)
+        hashed = (self.a[:, None] * vals[None, :] + self.b[:, None]) >> np.uint64(32)
+        return hashed.min(axis=1)
+
+    def band_keys_u64(self, sig: np.ndarray) -> np.ndarray:
+        """One uint64 key per band: weighted fold of the band's rows, mixed
+        with the band index so identical values in different bands cannot
+        collide across bands."""
+        m = sig.reshape(self.bands, self.rows)
+        folded = (m * self.band_w[None, :]).sum(axis=1, dtype=np.uint64)
+        idx = np.arange(self.bands, dtype=np.uint64)
+        return mix64(folded + (idx + np.uint64(1)) * _GOLDEN)
+
+    # ---- string-shingle convenience (tests / fixtures / doc dedup) -------
 
     def signature(self, shingles: list[str]) -> np.ndarray:
-        """MinHash signature (uint32[num_perm]) of a shingle set."""
-        if not shingles:
-            return np.full(self.num_perm, 0xFFFFFFFF, dtype=np.uint64)
         c = zlib.crc32
         vals = np.fromiter(
             (c(s.encode("utf-8", errors="surrogatepass")) for s in set(shingles)),
             dtype=np.uint64,
         )
-        # (num_perm, n_shingles) — fine for capped shingle counts
-        hashed = (self.a[:, None] * vals[None, :] + self.b[:, None]) % _MERSENNE
-        hashed &= _MAXH
-        return hashed.min(axis=1)
+        return self.signature_from_vals(vals)
 
-    def band_keys(self, sig: np.ndarray) -> list[str]:
-        """One stable string key per band: 'band_idx:crc32(band bytes)'."""
-        out = []
-        for i in range(self.bands):
-            band = sig[i * self.rows : (i + 1) * self.rows].astype(np.uint32)
-            h = zlib.crc32(band.tobytes())
-            out.append(f"{i}:{h:08x}")
-        return out
+    def band_keys(self, sig: np.ndarray) -> list[int]:
+        return [int(k) for k in self.band_keys_u64(sig)]
+
+
+def shingle_vals(token_hashes: np.ndarray, k: int = 3) -> np.ndarray:
+    """uint64 hash per k-gram of a token-hash sequence (vectorized rolling
+    combine — replaces join-string-then-crc with pure numpy)."""
+    h = np.asarray(token_hashes, dtype=np.uint64)
+    n = h.size
+    if n == 0:
+        return h
+    if n < k:
+        k = n
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):  # k is tiny (3); the inner ops are vectorized
+        acc = acc * np.uint64(1000003) + h[j : n - k + 1 + j]
+    return mix64(acc)
 
 
 def jaccard(a: set[str], b: set[str]) -> float:
@@ -73,18 +122,21 @@ def jaccard(a: set[str], b: set[str]) -> float:
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over a token multiset (deterministic, crc-seeded).
 
-    Each token contributes a 64-bit signature built from two crc32 halves;
-    bit-majority voting yields the fingerprint.
+    Token hashing is one crc pass + a numpy bit-unpack over the whole token
+    list; bit-majority voting yields the fingerprint.
     """
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        b = t.encode("utf-8", errors="surrogatepass")
-        h = (zlib.crc32(b) << 32) | zlib.crc32(b + b"#")
-        bits = np.unpackbits(
-            np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
-        ).astype(np.int64)
-        acc += bits * 2 - 1
+    c = zlib.crc32
+    hs = np.fromiter(
+        (
+            (c(b) << 32) | c(b + b"#")
+            for b in (t.encode("utf-8", errors="surrogatepass") for t in tokens)
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1).astype(np.int32)
+    acc = (bits * 2 - 1).sum(axis=0)
     fp_bits = (acc > 0).astype(np.uint8)
-    return int(np.packbits(fp_bits).view(">u8")[0])
+    return int(np.packbits(fp_bits).view(np.uint64)[0])

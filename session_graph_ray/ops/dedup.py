@@ -21,11 +21,11 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 from ..config import ERConfig
 from ..functions.hashing import sha256_column
-from ..functions.minhash import MinHasher, jaccard, simhash64
+from ..functions.minhash import jaccard, simhash64
 from ..stages.clustering import propagate_labels
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
@@ -58,40 +58,54 @@ def _word_tokens(text: str) -> list[str]:
     return [w.lower() for w in _WORD_RE.findall(text)]
 
 
-class _DocSigner:
-    """Actor-pool stage: word-shingle MinHash band keys per document."""
+def _doc_keys_batch(
+    batch: pa.Table, cfg: ERConfig, text_col: str, id_col: str, shingle_k: int
+) -> pa.Table:
+    """One doc -> KEYS_SCHEMA rows: an exact-content sha key (FAM_EXACT —
+    pairs become a star, so 10k identical boilerplate docs cost 10k-1 pairs,
+    not O(n^2)) plus MinHash-LSH band keys over word shingles (FAM_MH)."""
+    from ..functions.hashing import hash64_np
+    from ..functions.minhash import shingle_vals
+    from ..stages.blocking import _hasher, _tag
+    from .pairing import FAM_EXACT, FAM_MH, KEYS_SCHEMA
 
-    def __init__(self, cfg: ERConfig, text_col: str, id_col: str, shingle_k: int):
-        self.mh = MinHasher(cfg.minhash_num_perm, cfg.minhash_bands, cfg.minhash_seed)
-        self.text_col = text_col
-        self.id_col = id_col
-        self.k = shingle_k
+    mh = _hasher(cfg)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    bands = mh.bands
+    band_keys = np.empty(n * bands, dtype=np.uint64)
+    sha = np.empty(n, dtype=np.uint64)
+    keep = np.ones(n, dtype=bool)
+    from ..functions.hashing import hash64_str
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        out_keys, out_ids = [], []
-        for i, t in zip(ids, texts):
-            toks = _word_tokens(t or "")
-            sh = (
-                [" ".join(toks[j : j + self.k]) for j in range(len(toks) - self.k + 1)]
-                if len(toks) >= self.k
-                else [" ".join(toks)]
-                if toks
-                else []
-            )
-            if not sh:
-                continue
-            sig = self.mh.signature(sh)
-            for bk in self.mh.band_keys(sig):
-                out_keys.append(f"{bk}")
-                out_ids.append(i)
-        return pa.table(
-            {
-                "band_key": pa.array(out_keys, pa.string()),
-                "doc_id": pa.array(out_ids, pa.int64()),
-            }
-        )
+    for i, t in enumerate(texts):
+        toks = _word_tokens(t or "")
+        if not toks:
+            keep[i] = False
+            sha[i] = 0
+            continue
+        sha[i] = hash64_str(t)  # order-sensitive exact-content identity
+        sig = mh.signature_from_vals(shingle_vals(hash64_np(toks), shingle_k))
+        band_keys[i * bands : (i + 1) * bands] = mh.band_keys_u64(sig)
+    ki = np.flatnonzero(keep)
+    if ki.size == 0:
+        return KEYS_SCHEMA.empty_table()
+    bsel = (ki[:, None] * bands + np.arange(bands)[None, :]).ravel()
+    keys = np.concatenate([_tag(sha[ki], FAM_EXACT), _tag(band_keys[bsel], FAM_MH)])
+    fids = np.concatenate([ids[ki], np.repeat(ids[ki], bands)])
+    fams = np.concatenate(
+        [np.full(ki.size, FAM_EXACT, np.int8), np.full(ki.size * bands, FAM_MH, np.int8)]
+    )
+    shas = np.concatenate([sha[ki], np.repeat(sha[ki], bands)])
+    return pa.table(
+        {
+            "block_key": pa.array(keys, pa.uint64()),
+            "file_id": pa.array(fids, pa.uint64()),
+            "fam": pa.array(fams, pa.int8()),
+            "sha": pa.array(shas, pa.uint64()),
+        }
+    )
 
 
 def minhash_candidate_pairs(
@@ -101,41 +115,24 @@ def minhash_candidate_pairs(
     cfg: ERConfig | None = None,
     shingle_k: int = 3,
 ) -> "ray.data.Dataset":
-    """LSH candidate pairs (id_a < id_b), deduped across bands."""
+    """LSH candidate pairs (id_a < id_b uint64, route) through the SAME
+    skew-proof machinery as the ER blocking stage (``ops.pairing``): in-bucket
+    census, singleton prune, hot-block chunking with star bridges and counted
+    truncation — a hot band key (boilerplate near-identical docs) is bounded
+    O(n·block_cap), and identical docs ride the exact-sha star. route==0
+    pairs are exact-content duplicates (no verification needed)."""
     from ..config import auto_config
+    from .pairing import pairs_from_keys
 
     cfg = cfg or auto_config()
     keys = ds.map_batches(
-        _DocSigner,
-        fn_constructor_args=(cfg, text_col, id_col, shingle_k),
+        _doc_keys_batch,
+        fn_kwargs={"cfg": cfg, "text_col": text_col, "id_col": id_col,
+                   "shingle_k": shingle_k},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.scorer_concurrency,
-        num_cpus=1,
-    ).materialize()
-    # materialized before the self-join: both join sides consuming a lazy
-    # actor-pool stage would spawn two pools and starve the CPU budget
-
-    from .join import bucket_join, rename_batches
-
-    ka = rename_batches(keys, {"doc_id": "id_a"})
-    kb = rename_batches(keys, {"band_key": "band_key_r", "doc_id": "id_b"})
-    joined = bucket_join(
-        ka, kb, left_on="band_key", right_on="band_key_r",
-        left_schema=pa.schema([("band_key", pa.string()), ("id_a", pa.int64())]),
-        right_schema=pa.schema([("band_key_r", pa.string()), ("id_b", pa.int64())]),
     )
-
-    def triangle(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pa.compute.less(batch["id_a"], batch["id_b"]))
-        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"]})
-
-    raw = joined.map_batches(triangle, batch_format="pyarrow")
-    return (
-        raw.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["id_a", "id_b", "n_bands"])
-    )
+    return pairs_from_keys(keys, cfg)
 
 
 def verify_jaccard_pairs(
@@ -204,38 +201,67 @@ def near_dedup_assignments(
 ) -> "ray.data.Dataset":
     """Full MinHash-LSH near-dedup: (doc_id, canonical_doc_id) for every doc.
 
-    shingle -> minhash -> band groupby -> verify n-gram Jaccard -> transitive
-    closure (same label-propagation operator as the flagship ER stage 3).
+    shingle -> minhash -> skew-proof bucketed pairing -> verify n-gram
+    Jaccard (exact-content route-0 pairs skip verification — Jaccard is 1 by
+    construction) -> transitive closure (same label-propagation operator as
+    the flagship ER stage 3).
     """
+    import pyarrow.compute as pc
+
     from ..config import auto_config
     from ..stages.clustering import assignments as assign_op
+    from .pairing import ROUTE_EXACT, ROUTE_FUZZY, split_metric_rows
 
     cfg = cfg or auto_config()
-    cand = minhash_candidate_pairs(docs, id_col, text_col, cfg)
-    edges_raw = verify_jaccard_pairs(cand, docs, threshold, id_col, text_col)
+    cand = minhash_candidate_pairs(docs, id_col, text_col, cfg).materialize()
+    cand, _metrics = split_metric_rows(cand, cfg)
 
-    def to_str_edges(batch: pa.Table) -> pa.Table:
+    def route_sel(route_val: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["route"], pa.scalar(route_val, pa.int8())))
+
+        return f
+
+    exact_edges = cand.map_batches(route_sel(ROUTE_EXACT), batch_format="pyarrow")
+    fuzzy = cand.map_batches(route_sel(ROUTE_FUZZY), batch_format="pyarrow")
+
+    def to_i64(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "id_a": pa.compute.cast(batch.column("id_a"), pa.string()),
-                "id_b": pa.compute.cast(batch.column("id_b"), pa.string()),
+                "id_a": pc.cast(batch.column("id_a"), pa.int64()),
+                "id_b": pc.cast(batch.column("id_b"), pa.int64()),
             }
         )
 
-    edges = edges_raw.map_batches(to_str_edges, batch_format="pyarrow")
+    verified = verify_jaccard_pairs(
+        fuzzy.map_batches(to_i64, batch_format="pyarrow"),
+        docs, threshold, id_col, text_col,
+    )
+
+    def to_u64(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pc.cast(batch.column("id_a"), pa.uint64()),
+                "id_b": pc.cast(batch.column("id_b"), pa.uint64()),
+            }
+        )
+
+    edges = exact_edges.select_columns(["id_a", "id_b"]).union(
+        verified.map_batches(to_u64, batch_format="pyarrow")
+    )
     labels = propagate_labels(edges, cfg)
     ids = docs.select_columns([id_col]).map_batches(
-        lambda t: pa.table({"file_id": pa.compute.cast(t.column(id_col), pa.string())}),
+        lambda t: pa.table(
+            {"file_id_u64": pc.cast(t.column(id_col), pa.uint64())}
+        ),
         batch_format="pyarrow",
     )
     out = assign_op(ids, labels, cfg)
     return out.map_batches(
         lambda t: pa.table(
             {
-                id_col: pa.compute.cast(t.column("file_id"), pa.int64()),
-                "canonical_doc_id": pa.compute.cast(
-                    t.column("canonical_file_id"), pa.int64()
-                ),
+                id_col: pc.cast(t.column("file_id_u64"), pa.int64()),
+                "canonical_doc_id": pc.cast(t.column("canonical_u64"), pa.int64()),
             }
         ),
         batch_format="pyarrow",

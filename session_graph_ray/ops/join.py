@@ -86,10 +86,6 @@ def bucket_join(
     Caller contract: column names of the two sides must be disjoint (keys may
     differ or match). ``how`` is pandas semantics: inner / left.
     """
-    import zlib
-
-    import pyarrow as pa
-
     import numpy as np
     import pyarrow as pa
 
@@ -115,17 +111,25 @@ def bucket_join(
         [(c, ltypes[c]) for c in lcols] + [(c, rtypes[c]) for c in rcols]
     )
 
+    def _bucket_of(col: pa.ChunkedArray) -> pa.Array:
+        """Vectorized bucket assignment: numpy mod for integer keys, C-loop
+        crc32 for strings (no per-row Python crc/encode in the hot path)."""
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.array((v % np.uint64(B)).astype(np.int32))
+        from ..functions.hashing import crc32_np
+
+        v = crc32_np([str(k) for k in col.to_pylist()])
+        return pa.array((v % np.uint64(B)).astype(np.int32))
+
     def pad(side: int, key: str, own: list[str], other: list[str], other_t):
         def f(t: pa.Table) -> pa.Table:
             n = t.num_rows
-            keys = t.column(key).to_pylist()
             cols = {c: t.column(c) for c in own if c in t.column_names}
             for c in other:
                 cols[c] = pa.nulls(n, other_t[c])
-            cols["__bkt"] = pa.array(
-                [zlib.crc32(str(k).encode()) % B for k in keys], pa.int32()
-            )
-            cols["__side"] = pa.array([side] * n, pa.int8())
+            cols["__bkt"] = _bucket_of(t.column(key))
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
             ordered = [*lcols, *rcols, "__bkt", "__side"]
             return pa.table({c: cols[c] for c in ordered})
 
@@ -166,10 +170,13 @@ def bucket_join(
             rpd = rg.to_pandas()
             out = lpd.merge(rpd, how=pd_how, left_on=left_on, right_on=right_on)
             try:
-                return pa.Table.from_pandas(out, schema=target_schema,
-                                            preserve_index=False)
+                return pa.Table.from_pandas(
+                    out, schema=target_schema, preserve_index=False
+                ).replace_schema_metadata(None)
             except (pa.ArrowInvalid, pa.ArrowTypeError):
-                return pa.Table.from_pandas(out, preserve_index=False)
+                return pa.Table.from_pandas(
+                    out, preserve_index=False
+                ).replace_schema_metadata(None)
 
     return l2.union(r2).groupby("__bkt").map_groups(merge_bucket, batch_format="pyarrow")
 

@@ -2,12 +2,13 @@
 
     read_parquet(corpus)
       -> normalize            (map_batches, Arrow, stateless)
-      -> candidate_pairs      (actor-pool key explosion, salted groupby,
-                               capped pair generation, cross-key dedup)
-      -> score_pairs          (hash joins vs compact features + DuckDB scorer
-                               actor pool; sha short-circuit path)
+      -> candidate_pairs      (key explosion -> ONE bucketed groupby fusing
+                               census/prune/skew-chunking/pair-gen -> int
+                               bucketed cross-key dedup; truncation counted)
+      -> score_pairs          (indexed scorer actor pool over the plasma-
+                               shared feature table; sha short-circuit path)
       -> match_edges          (score >= threshold)
-      -> propagate_labels     (iterative hash-partitioned min-label union-find)
+      -> propagate_labels     (iterative int-bucketed min-label union-find)
       -> assignments          (left join: every row gets a canonical id)
 
 Every stage optionally checkpoints through ``CheckpointManager`` (per-stage
@@ -22,13 +23,17 @@ import dataclasses
 import glob
 from dataclasses import dataclass
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count
 
 from ..config import ERConfig
+from ..ops.pairing import split_metric_rows
 from ..stages.blocking import candidate_pairs
-from ..stages.clustering import assignments, propagate_labels
-from ..stages.normalize import features_view, normalize
+from ..stages.clustering import assignments, assignments_hex, propagate_labels
+from ..stages.normalize import features_view, normalize, normalize_core
 from ..stages.scoring import match_edges, score_pairs
 from ..state.checkpoint import CheckpointManager, input_fingerprint
 
@@ -86,21 +91,34 @@ def run_er_pipeline(
         return ds
 
     corpus = ray.data.read_parquet(paths)
-    norm = normalize(corpus, batch_size=cfg.batch_size)
 
-    features = stage("features", lambda: features_view(norm))
-    pairs = stage("pairs", lambda: candidate_pairs(
-        # blocking needs content for shingling: re-derive from corpus when not
-        # resuming; when features resumed, normalize() recomputes lazily and
-        # Ray only executes what the pairs stage actually consumes.
-        norm, cfg
+    features = stage(
+        "features", lambda: features_view(normalize(corpus, batch_size=cfg.batch_size))
+    )
+    pairs_raw = stage("pairs", lambda: candidate_pairs(
+        # blocking needs content for shingling, but only the cheap core
+        # normalization: re-derive from corpus (streaming; never materializes
+        # content) instead of joining it back against the features table
+        normalize_core(corpus, batch_size=cfg.batch_size), cfg
     ))
-    scores = stage("scores", lambda: score_pairs(pairs, features, cfg))
+    pairs, blocking_metrics = split_metric_rows(pairs_raw, cfg)
+    metrics["blocking"] = blocking_metrics
+
+    # row count for the indexed-vs-join decision comes from the manifest /
+    # materialized metadata — NOT a lineage re-execution (round-1 finding)
+    if ckpt is not None and "rows" in metrics.get("features", {}):
+        n_feat = metrics["features"]["rows"]
+    else:
+        n_feat = features.count()
+
+    scores = stage("scores", lambda: score_pairs(pairs, features, cfg, n_features=n_feat))
     edges = stage("edges", lambda: match_edges(scores, cfg))
     labels = stage("labels", lambda: propagate_labels(edges, cfg))
     assign = stage(
         "assignments",
-        lambda: assignments(features.select_columns(["file_id"]), labels, cfg),
+        lambda: assignments_hex(
+            assignments(features.select_columns(["file_id_u64"]), labels, cfg)
+        ),
     )
 
     if ckpt is not None:
@@ -125,11 +143,15 @@ def match_metrics(result: ERResult) -> dict:
         result.assignments.groupby("canonical_file_id")
         .aggregate(Count(alias_name="sz"))
     )
-    multi = clusters.filter(lambda r: r["sz"] > 1).count()
+    multi = clusters.map_batches(
+        lambda t: t.filter(pc.greater(t["sz"], pa.scalar(1))),
+        batch_format="pyarrow",
+    ).count()
     return {
         "rows": n_rows,
         "candidate_pairs": n_pairs,
         "match_edges": n_edges,
         "match_rate": (n_edges / n_pairs) if n_pairs else 0.0,
         "multi_clusters": multi,
+        **{f"blocking_{k}": v for k, v in result.metrics.get("blocking", {}).items()},
     }

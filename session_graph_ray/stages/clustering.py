@@ -3,22 +3,26 @@
 Reference semantic: entities sharing a canonical key merge under one
 representative (same-QID => ``owl:sameAs``,
 ``/root/reference/pipeline/link_entities.py:741-754``). The reference elects
-``uris[0]`` — list-order dependent; here the canonical id is ``min(file_id)``
-so the output is order-free (SURVEY.md §2.11 note).
+``uris[0]`` — list-order dependent; here the canonical id is ``min(id)`` so
+the output is order-free (SURVEY.md §2.11 note).
 
 Algorithm: hash-partitioned min-label propagation to fixpoint — no driver-side
-union-find state (north_rule). Each round uses bucket_join (the groupby-based
-partitioned hash join from ops/join.py — Ray 2.49's native JoinOperator
-mis-plans multi-join DAGs) plus native aggregates, fully vectorized:
+union-find state (north_rule). All node/label values are uint64, so every
+round is int-bucketed numpy: bucket = node % B, per-bucket sort +
+``np.minimum.reduceat``. Each label row carries a ``chk`` fingerprint column
+computed in the same kernel, so convergence detection is a single cheap
+``Sum`` over the already-materialized label table — one extra action per
+round, zero extra passes.
 
-    m1      = edges ⋈ labels on id_a -> (node=id_b, label=label(id_a))
-    m2      = edges ⋈ labels on id_b -> (node=id_a, label=label(id_b))
-    labels' = (m1 ∪ m2 ∪ labels).groupby(node).min(label)
-    stop when checksum(labels') == checksum(labels)  (crc32 sum — scalar)
+    m       = bidir_edges ⋈ labels on src -> (node=dst, label)
+    labels' = (m ∪ labels).bucket_min(node)
+    stop when Sum(chk') == Sum(chk)
 
-Converges in O(log d) rounds for cluster diameter d; ER clusters are shallow
-(2-4 rounds typical). Each round materializes only the label table (nodes
-that appear in >=1 edge — far smaller than the corpus).
+Convergence takes O(diameter) rounds. The blocking stage keeps diameters
+O(1) by construction (exact blocks are stars over the min; chunked hot
+blocks bridge through a star over chunk heads), so 2-4 rounds are typical;
+if ``cfg.max_cluster_rounds`` is hit before the fixpoint, a warning is
+raised rather than silently emitting split clusters.
 
 Rows that never matched anything become their own singleton cluster via a
 left join back to the corpus id list (the reference keeps unlinked entities
@@ -27,56 +31,144 @@ as-is rather than dropping them, ``link_entities.py:578-584``).
 
 from __future__ import annotations
 
-import zlib
+import warnings
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Sum
 
 from ..config import ERConfig
-from ..ops.join import rename_batches
+from ..functions.minhash import mix64
+
+_LABELS_SCHEMA = pa.schema(
+    [("node", pa.uint64()), ("label", pa.uint64()), ("chk", pa.int64())]
+)
 
 
-def _label_checksum(labels: "ray.data.Dataset") -> int:
-    """Order-free integer fingerprint of a (node, label) table."""
+def _min_by_node(ds: "ray.data.Dataset", B: int) -> "ray.data.Dataset":
+    """groupby(node).min(label) + per-row chk fingerprint, int-bucketed:
+    bucket by ``node % B`` (one numpy mod), then per-bucket lexsort +
+    ``np.minimum.reduceat`` — no per-key Python, no string shuffles."""
 
-    def crc(batch: pa.Table) -> pa.Table:
-        nodes = batch.column("node").to_pylist()
-        labs = batch.column("label").to_pylist()
-        s = [zlib.crc32(f"{n}={l}".encode()) for n, l in zip(nodes, labs)]
-        return pa.table({"crc": pa.array(s, pa.int64())})
+    def add_bkt(t: pa.Table) -> pa.Table:
+        nodes = t.column("node").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__bkt", pa.array((nodes % np.uint64(B)).astype(np.int32))
+        )
 
-    out = labels.map_batches(crc, batch_format="pyarrow").aggregate(
-        Sum("crc", alias_name="sum")
+    def min_bucket(g: pa.Table) -> pa.Table:
+        node = g.column("node").to_numpy(zero_copy_only=False).astype(np.uint64)
+        label = g.column("label").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((label, node))
+        node, label = node[order], label[order]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        out_node = node[starts]
+        out_label = label[starts]  # sorted secondary => min per node
+        chk = ((mix64(out_node) ^ mix64(out_label)) >> np.uint64(33)).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(out_node, pa.uint64()),
+                "label": pa.array(out_label, pa.uint64()),
+                "chk": pa.array(chk, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bkt, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(min_bucket, batch_format="pyarrow")
     )
-    return int(out["sum"] or 0)
+
+
+def _checksum(labels: "ray.data.Dataset") -> int:
+    out = labels.aggregate(Sum("chk", alias_name="s"))
+    return int(out["s"] or 0)
+
+
+def _join_msgs(
+    bidir: "ray.data.Dataset", labels: "ray.data.Dataset", B: int
+) -> "ray.data.Dataset":
+    """(src, dst) ⋈ (node, label) on src==node -> (node=dst, label), as a
+    tagged-union int-bucketed merge (same plan shape as ops.join.bucket_join,
+    specialized to uint64 keys and a projected output)."""
+
+    def pad_edges(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "k": t.column("src"),
+                "dst": t.column("dst"),
+                "label": pa.nulls(n, pa.uint64()),
+                "__bkt": pa.array((src % np.uint64(B)).astype(np.int32)),
+                "__side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def pad_labels(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "k": t.column("node"),
+                "dst": pa.nulls(n, pa.uint64()),
+                "label": t.column("label"),
+                "__bkt": pa.array((node % np.uint64(B)).astype(np.int32)),
+                "__side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    l2 = bidir.map_batches(pad_edges, batch_format="pyarrow")
+    r2 = labels.map_batches(pad_labels, batch_format="pyarrow")
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # split sides BEFORE to_numpy: the null-padded uint64 columns would
+        # otherwise decay to float64 and corrupt ids above 2^53
+        side_eq = pc.equal(g["__side"], pa.scalar(0, pa.int8()))
+        ge = g.filter(side_eq)
+        gl = g.filter(pc.invert(side_eq))
+        ek = ge.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        edst = ge.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        lk = gl.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ll = gl.column("label").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(lk)
+        lk, ll = lk[order], ll[order]
+        if not lk.size:
+            return pa.table({"node": pa.array([], pa.uint64()),
+                             "label": pa.array([], pa.uint64())})
+        pos = np.searchsorted(lk, ek)
+        pos_c = np.minimum(pos, lk.size - 1)
+        hit = (pos < lk.size) & (lk[pos_c] == ek)
+        return pa.table(
+            {
+                "node": pa.array(edst[hit], pa.uint64()),
+                "label": pa.array(ll[pos_c[hit]], pa.uint64()),
+            }
+        )
+
+    return l2.union(r2).groupby("__bkt").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def propagate_labels(
     edges: "ray.data.Dataset", cfg: ERConfig,
     checkpoint_cb=None,
 ) -> "ray.data.Dataset":
-    """(id_a, id_b) match edges -> (node, label) with label = min reachable id.
-
-    Per round: two bucket-joins attach each endpoint's current label to the
-    opposite endpoint as a message; union with the labels themselves; native
-    ``Min`` aggregate per node. Everything is vectorized (pandas merges per
-    bucket + Arrow kernels) — no per-node Python.
-
-    ``checkpoint_cb(round_idx, labels_ds)`` is invoked per round when given
-    (per-round lineage checkpointing hook)."""
-    from ..ops.join import bucket_join, rename_batches
+    """(id_a, id_b) uint64 match edges -> (node, label) with label = min
+    reachable id. ``checkpoint_cb(round_idx, labels_ds)`` is invoked per
+    round when given (per-round lineage checkpointing hook)."""
 
     def bidirect(batch: pa.Table) -> pa.Table:
-        a = pc.cast(batch.column("id_a"), pa.string()).combine_chunks()
-        b = pc.cast(batch.column("id_b"), pa.string()).combine_chunks()
+        a = pc.cast(batch.column("id_a"), pa.uint64()).combine_chunks()
+        b = pc.cast(batch.column("id_b"), pa.uint64()).combine_chunks()
         return pa.table(
             {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
         )
 
-    # one bidirectional edge table => ONE join per round instead of two
+    B = cfg.join_partitions * 4
     bidir = (
         edges.select_columns(["id_a", "id_b"])
         .map_batches(bidirect, batch_format="pyarrow")
@@ -84,10 +176,7 @@ def propagate_labels(
         .materialize()
     )
     if bidir.count() == 0:  # nothing to merge: all-singleton corpus
-        return ray.data.from_arrow(
-            pa.table({"node": pa.array([], pa.string()),
-                      "label": pa.array([], pa.string())})
-        )
+        return ray.data.from_arrow(_LABELS_SCHEMA.empty_table())
 
     def init_labels(batch: pa.Table) -> pa.Table:
         # seed with min(self, neighbors): equals the result of round 1 at no
@@ -99,85 +188,109 @@ def propagate_labels(
              "label": pa.concat_arrays([src, dst])}
         )
 
-    B = cfg.join_partitions * 4
-
-    def _min_by_node(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-        """groupby(node).min(label), bucketed: the native aggregate
-        sort-shuffles every distinct node string; bucketing shuffles B small
-        ints and reduces with one vectorized pandas groupby per bucket."""
-
-        def add_bkt(t: pa.Table) -> pa.Table:
-            nodes = t.column("node").to_pylist()
-            bkt = [zlib.crc32(n.encode()) % B for n in nodes]
-            return t.append_column("__bkt", pa.array(bkt, pa.int32()))
-
-        import pandas as pd
-
-        def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby("node", as_index=False)["label"].min()
-
-        return (
-            ds.map_batches(add_bkt, batch_format="pyarrow")
-            .groupby("__bkt")
-            .map_groups(min_bucket, batch_format="pandas")
-        )
-
-    labels = (
-        _min_by_node(bidir.map_batches(init_labels, batch_format="pyarrow"))
-        .repartition(cfg.join_partitions)
-        .materialize()
-    )
-
-    prev_sum = _label_checksum(labels)
+    labels = _min_by_node(
+        bidir.map_batches(init_labels, batch_format="pyarrow"), B
+    ).materialize()
+    prev_sum = _checksum(labels)
+    converged = False
     for rnd in range(cfg.max_cluster_rounds):
-        lab = rename_batches(labels, {"node": "node_l", "label": "label_l"})
-        msgs = bucket_join(
-            bidir, lab, left_on="src", right_on="node_l",
-            num_buckets=cfg.join_partitions * 4,
-            left_schema=pa.schema([("src", pa.string()), ("dst", pa.string())]),
-            right_schema=pa.schema([("node_l", pa.string()), ("label_l", pa.string())]),
-        ).map_batches(
-            lambda t: pa.table({"node": t.column("dst"), "label": t.column("label_l")}),
-            batch_format="pyarrow",
-        )
-        new_labels = (
-            _min_by_node(msgs.union(labels))
-            .repartition(cfg.join_partitions)
-            .materialize()
-        )
-        new_sum = _label_checksum(new_labels)
+        msgs = _join_msgs(bidir, labels.select_columns(["node", "label"]), B)
+        new_labels = _min_by_node(
+            msgs.union(labels.select_columns(["node", "label"])), B
+        ).materialize()
+        new_sum = _checksum(new_labels)
         labels = new_labels
         if checkpoint_cb is not None:
             checkpoint_cb(rnd, labels)
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
-    return labels
+    if not converged:
+        warnings.warn(
+            f"label propagation hit max_cluster_rounds={cfg.max_cluster_rounds} "
+            "before the fixpoint — clusters with larger diameters may be split; "
+            "raise ERConfig.max_cluster_rounds",
+            RuntimeWarning,
+        )
+    return labels.select_columns(["node", "label"])
 
 
 def assignments(
     corpus_ids: "ray.data.Dataset", labels: "ray.data.Dataset", cfg: ERConfig
 ) -> "ray.data.Dataset":
-    """Every corpus row -> (file_id, canonical_file_id); unmatched rows map to
-    themselves (singleton clusters, including non-scorable rows)."""
-    from ..ops.join import bucket_join
+    """Every corpus row (``file_id_u64``) -> (file_id_u64, canonical_u64);
+    unmatched rows map to themselves (singleton clusters, including
+    non-scorable rows). Left join as the same int-bucketed merge."""
+    B = cfg.join_partitions * 4
 
-    lab = rename_batches(labels, {"node": "file_id_l", "label": "canonical"})
-    joined = bucket_join(
-        corpus_ids.select_columns(["file_id"]),
-        lab,
-        left_on="file_id",
-        right_on="file_id_l",
-        how="left",
-        num_buckets=cfg.join_partitions * 4,
-        left_schema=pa.schema([("file_id", pa.string())]),
-        right_schema=pa.schema([("file_id_l", pa.string()), ("canonical", pa.string())]),
+    def pad_ids(t: pa.Table) -> pa.Table:
+        ids = t.column("file_id_u64").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "k": t.column("file_id_u64"),
+                "label": pa.nulls(n, pa.uint64()),
+                "__bkt": pa.array((ids % np.uint64(B)).astype(np.int32)),
+                "__side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def pad_labels(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "k": t.column("node"),
+                "label": t.column("label"),
+                "__bkt": pa.array((node % np.uint64(B)).astype(np.int32)),
+                "__side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        side_eq = pc.equal(g["__side"], pa.scalar(0, pa.int8()))
+        gi = g.filter(side_eq)
+        gl = g.filter(pc.invert(side_eq))
+        ids = gi.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        lk = gl.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ll = gl.column("label").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(lk)
+        lk, ll = lk[order], ll[order]
+        canon = ids.copy()
+        if lk.size:
+            pos = np.searchsorted(lk, ids)
+            pos_c = np.minimum(pos, lk.size - 1)
+            hit = (pos < lk.size) & (lk[pos_c] == ids)
+            canon[hit] = ll[pos_c[hit]]
+        return pa.table(
+            {
+                "file_id_u64": pa.array(ids, pa.uint64()),
+                "canonical_u64": pa.array(canon, pa.uint64()),
+            }
+        )
+
+    l2 = corpus_ids.select_columns(["file_id_u64"]).map_batches(
+        pad_ids, batch_format="pyarrow"
     )
+    r2 = labels.map_batches(pad_labels, batch_format="pyarrow")
+    return l2.union(r2).groupby("__bkt").map_groups(merge_bucket, batch_format="pyarrow")
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        fid = batch.column("file_id")
-        canon = batch.column("canonical")
-        canon = pc.coalesce(canon, fid)
-        return pa.table({"file_id": fid, "canonical_file_id": canon})
 
-    return joined.map_batches(finalize, batch_format="pyarrow")
+def assignments_hex(assign_u64: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(file_id_u64, canonical_u64) -> (file_id, canonical_file_id) as the
+    16-hex-char public id form (pure vectorized formatting — the u64 ids ARE
+    the hex ids' numeric value, see functions.hashing.sha256_u64)."""
+    from ..functions.hashing import u64_to_hex
+
+    def fmt(t: pa.Table) -> pa.Table:
+        f = t.column("file_id_u64").to_numpy(zero_copy_only=False)
+        c = t.column("canonical_u64").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "file_id": pa.array(u64_to_hex(f), pa.string()),
+                "canonical_file_id": pa.array(u64_to_hex(c), pa.string()),
+            }
+        )
+
+    return assign_u64.map_batches(fmt, batch_format="pyarrow")

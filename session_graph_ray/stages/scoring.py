@@ -5,7 +5,7 @@ linking with a deterministic tie-break ladder (exact > alias > keyword,
 ``/root/reference/pipeline/link_entities.py:374-400, 531-537, 677-686``)
 becomes a deterministic score ladder:
 
-    content_sha256 equal            -> score 1.0 (short-circuit, no features)
+    content sha equal (route 0)     -> score 1.0 (short-circuit, no features)
     else   0.30 * JaroWinkler(stem) + 0.35 * tokenJaccard(identifiers)
          + 0.35 * LevenshteinSim(content[:256])
     emit match edge iff score >= 0.70 (the reference's confidence gate,
@@ -18,21 +18,31 @@ each Arrow batch with a single vectorized SQL projection — C++ string-distance
 kernels, zero Python per-pair loops. DuckDB is a public, baked-in library;
 no external services are involved.
 
-Feature enrichment: candidate pairs carry only ids; features join in via two
-hash-partitioned ``Dataset.join`` calls against the compact feature view
-(content projected away — wide-row rule, SURVEY.md §7.4). Pairs whose block
-was ``sha:`` (route==0) bypass the join entirely: exact-content pairs are
-emitted at score 1.0 straight from the pair table.
+Feature access (pairs carry only uint64 ids): the compact feature table is
+consolidated and sorted by id inside a REMOTE task (one plasma copy, zero
+driver-serial seconds), and every scorer actor maps it zero-copy from the
+object store, resolving both sides of each pair batch with one vectorized
+``np.searchsorted`` + ``Table.take``. Above ``cfg.feature_broadcast_limit``
+rows (node-RAM bound at 10^12 scale) features join in via the partitioned
+``bucket_join`` path instead. Pairs whose block was exact-content (route 0)
+bypass features entirely and emit score 1.0 straight from the pair table.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 from ..config import ERConfig
+
+_FEATURE_COLS = [
+    "file_id_u64", "sha_u64", "stem_norm", "tokens_bin", "content_trunc"
+]
+
 
 class PairScorer:
     """Callable class for ``map_batches`` — one DuckDB connection per actor.
@@ -77,11 +87,11 @@ class PairScorer:
             return _empty_scores()
         cfg = self.cfg
         n = batch.num_rows
-        sha_a = batch.column("sha_a").to_pylist()
-        sha_b = batch.column("sha_b").to_pylist()
-        exact = np.array([x == y for x, y in zip(sha_a, sha_b)])
+        sha_a = batch.column("sha_a").to_numpy(zero_copy_only=False)
+        sha_b = batch.column("sha_b").to_numpy(zero_copy_only=False)
+        exact = sha_a == sha_b
 
-        self.con.register("batch", batch)
+        self.con.register("batch", batch.select(["stem_a", "stem_b"]))
         jw = (
             self.con.execute(
                 "SELECT jaro_winkler_similarity(stem_a, stem_b) AS jw FROM batch"
@@ -135,9 +145,9 @@ class PairScorer:
 def _scores_schema() -> pa.Schema:
     return pa.schema(
         [
-            ("id_a", pa.string()),
-            ("id_b", pa.string()),
-            ("block_key", pa.string()),
+            ("id_a", pa.uint64()),
+            ("id_b", pa.uint64()),
+            ("block_key", pa.uint64()),
             ("jw", pa.float64()),
             ("tj", pa.float64()),
             ("lev_sim", pa.float64()),
@@ -150,42 +160,51 @@ def _empty_scores() -> pa.Table:
     return _scores_schema().empty_table()
 
 
-class IndexedPairScorer(PairScorer):
-    """PairScorer whose feature lookup is an in-actor index, not a join.
+@ray.remote(num_cpus=1)
+def _consolidate_features(refs: list) -> pa.Table:
+    """Concat + id-sort the compact feature blocks OFF the driver; the result
+    lives once in plasma and every scorer actor maps it zero-copy."""
+    tbls = [t for t in ray.get(list(refs)) if t.num_rows]
+    t = pa.concat_tables(tbls).combine_chunks() if tbls else pa.table(
+        {c: pa.array([], pa.uint64()) for c in ["file_id_u64"]}
+    )
+    order = pc.sort_indices(t, sort_keys=[("file_id_u64", "ascending")])
+    return t.take(order).combine_chunks()
 
-    ``__init__`` fetches the consolidated feature table from the object store
-    (``ray.get`` of a plasma ref — zero-copy Arrow buffers shared across all
-    actors on the node) and builds a file_id -> row-index dict ONCE per actor
-    (the reference's load-state-once worker pattern,
-    ``/root/reference/pipeline/llm_providers.py:65-228``). ``__call__`` takes
-    a NARROW pair batch, gathers both sides' feature rows with vectorized
-    ``Table.take``, and scores. Eliminates the wide enrichment shuffle — the
-    dominant cost of the join path (154s of a 426s benchxl run).
-    """
+
+class IndexedPairScorer(PairScorer):
+    """PairScorer whose feature lookup is a vectorized binary search over the
+    id-sorted consolidated feature table (zero-copy plasma Arrow buffers
+    shared by all actors on the node; the reference's load-state-once worker
+    pattern, ``/root/reference/pipeline/llm_providers.py:65-228``).
+    ``__call__`` takes a NARROW uint64 pair batch, gathers both sides' rows
+    with ``np.searchsorted`` + ``Table.take``, and scores. No enrichment
+    shuffle at all."""
 
     def __init__(self, cfg: ERConfig, feat_ref):
         super().__init__(cfg)
-        import ray as _ray
+        self.feat = ray.get(feat_ref)
+        self.ids = self.feat.column("file_id_u64").to_numpy(zero_copy_only=False)
 
-        self.feat = _ray.get(feat_ref)
-        ids = self.feat.column("file_id").to_pylist()
-        self.index = {fid: i for i, fid in enumerate(ids)}
+    def _gather(self, col: pa.ChunkedArray) -> pa.Table:
+        want = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.searchsorted(self.ids, want)
+        if pos.size and not (self.ids[np.minimum(pos, self.ids.size - 1)] == want).all():
+            raise KeyError("candidate pair references an id missing from features")
+        return self.feat.take(pa.array(pos))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_scores()
-        idx = self.index
-        ia = [idx[f] for f in batch.column("id_a").to_pylist()]
-        ib = [idx[f] for f in batch.column("id_b").to_pylist()]
-        fa = self.feat.take(pa.array(ia, pa.int64()))
-        fb = self.feat.take(pa.array(ib, pa.int64()))
+        fa = self._gather(batch.column("id_a"))
+        fb = self._gather(batch.column("id_b"))
         enriched = pa.table(
             {
                 "id_a": batch.column("id_a"),
                 "id_b": batch.column("id_b"),
                 "block_key": batch.column("block_key"),
-                "sha_a": fa.column("content_sha256"),
-                "sha_b": fb.column("content_sha256"),
+                "sha_a": fa.column("sha_u64"),
+                "sha_b": fb.column("sha_u64"),
                 "stem_a": fa.column("stem_norm"),
                 "stem_b": fb.column("stem_norm"),
                 "tokens_a": fa.column("tokens_bin"),
@@ -203,8 +222,8 @@ def _rename_for_side(ds: "ray.data.Dataset", side: str) -> "ray.data.Dataset":
     return rename_batches(
         ds,
         {
-            "file_id": f"fid_{side}",
-            "content_sha256": f"sha_{side}",
+            "file_id_u64": f"fid_{side}",
+            "sha_u64": f"sha_{side}",
             "stem_norm": f"stem_{side}",
             "tokens_bin": f"tokens_{side}",
             "content_trunc": f"trunc_{side}",
@@ -216,29 +235,30 @@ def score_pairs(
     pairs: "ray.data.Dataset",
     features: "ray.data.Dataset",
     cfg: ERConfig,
+    n_features: int | None = None,
 ) -> "ray.data.Dataset":
-    """(id_a, id_b, block_key, route) × features -> scored edges.
+    """(id_a, id_b, block_key, fam, route) × features -> scored edges.
 
-    Returns every scored pair (thresholding is the caller's concern so the
-    scores table can be checkpointed *including* non-matches — the reference
-    caches negative results too, ``link_entities.py:283-329``).
+    ``n_features``: row count of ``features`` if the caller already knows it
+    (e.g. from the stage checkpoint manifest) — avoids re-executing the
+    feature lineage just to pick the indexed-vs-join path. Returns every
+    scored pair (thresholding is the caller's concern so the scores table can
+    be checkpointed *including* non-matches — the reference caches negative
+    results too, ``link_entities.py:283-329``).
     """
-    feat = features.select_columns(
-        ["file_id", "content_sha256", "stem_norm", "tokens_bin", "content_trunc"]
-    )
+    feat = features.select_columns(_FEATURE_COLS)
 
-    def _route_filter(want_zero: bool):
+    def _route_filter(route_val: int):
         def f(t: pa.Table) -> pa.Table:
-            mask = pa.compute.equal(t["route"], pa.scalar(0))
-            return t.filter(mask if want_zero else pa.compute.invert(mask))
+            return t.filter(pc.equal(t["route"], pa.scalar(route_val, pa.int8())))
 
         return f
 
     # vectorized route split (a row-wise ds.filter(lambda) here costs seconds
     # per million pairs)
-    sha_pairs = pairs.map_batches(_route_filter(True), batch_format="pyarrow",
+    sha_pairs = pairs.map_batches(_route_filter(0), batch_format="pyarrow",
                                   batch_size=cfg.pair_batch_size)
-    fuzzy_pairs = pairs.map_batches(_route_filter(False), batch_format="pyarrow",
+    fuzzy_pairs = pairs.map_batches(_route_filter(1), batch_format="pyarrow",
                                     batch_size=cfg.pair_batch_size)
 
     def sha_to_scores(batch: pa.Table) -> pa.Table:
@@ -260,15 +280,12 @@ def score_pairs(
         sha_to_scores, batch_format="pyarrow", batch_size=cfg.pair_batch_size
     )
 
-    # fast path: features fit the object store -> indexed scorer, no join
-    n_feat = feat.count()
-    if n_feat <= cfg.feature_broadcast_limit:
-        import ray as _ray
+    if n_features is None:
+        n_features = feat.count()
 
-        feat_tbl = pa.concat_tables(
-            _ray.get(feat.to_arrow_refs())
-        ).combine_chunks()
-        feat_ref = _ray.put(feat_tbl)
+    # fast path: features fit the object store -> indexed scorer, no join
+    if n_features <= cfg.feature_broadcast_limit:
+        feat_ref = _consolidate_features.remote(feat.to_arrow_refs())
         fuzzy_scored = fuzzy_pairs.map_batches(
             IndexedPairScorer,
             fn_constructor_args=(cfg, feat_ref),
@@ -283,15 +300,16 @@ def score_pairs(
 
     fa = _rename_for_side(feat, "a")
     fb = _rename_for_side(feat, "b")
+
     def _feat_schema(side: str) -> pa.Schema:
         return pa.schema(
-            [(f"fid_{side}", pa.string()), (f"sha_{side}", pa.string()),
+            [(f"fid_{side}", pa.uint64()), (f"sha_{side}", pa.uint64()),
              (f"stem_{side}", pa.string()), (f"tokens_{side}", pa.binary()),
              (f"trunc_{side}", pa.string())]
         )
 
     pairs_schema = pa.schema(
-        [("id_a", pa.string()), ("id_b", pa.string()), ("block_key", pa.string())]
+        [("id_a", pa.uint64()), ("id_b", pa.uint64()), ("block_key", pa.uint64())]
     )
     enriched = bucket_join(
         bucket_join(
@@ -321,7 +339,7 @@ def match_edges(scores: "ray.data.Dataset", cfg: ERConfig) -> "ray.data.Dataset"
     """Confidence gate (reference: emit owl:sameAs only when >= 0.7)."""
     thr = cfg.score_threshold
     return scores.map_batches(
-        lambda t: t.filter(pa.compute.greater_equal(t["score"], pa.scalar(thr))),
+        lambda t: t.filter(pc.greater_equal(t["score"], pa.scalar(thr))),
         batch_format="pyarrow",
         batch_size=cfg.pair_batch_size,
     )

@@ -86,6 +86,23 @@ class CheckpointManager:
         tmp = f"{final}.tmp-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp)
+        if not os.path.isdir(tmp):
+            # empty stage output (e.g. no match edges on an all-singleton
+            # corpus) may produce zero files; persist an explicit empty
+            # parquet so resume's read_parquet() round-trips the schema
+            os.makedirs(tmp, exist_ok=True)
+        if not any(n.endswith(".parquet") for n in os.listdir(tmp)):
+            import pyarrow as pa
+
+            schema = ds.schema()
+            tbl = (
+                pa.schema(
+                    [(n, t) for n, t in zip(schema.names, schema.types)]
+                ).empty_table()
+                if schema is not None and schema.names
+                else pa.table({"__empty": pa.array([], pa.int8())})
+            )
+            pq.write_table(tbl, os.path.join(tmp, "part-empty.parquet"))
         shutil.rmtree(final, ignore_errors=True)
         os.replace(tmp, final)
 

@@ -1,64 +1,136 @@
-"""Stage-1 tests: key families, singleton drop, skew salting, pair dedup."""
+"""Stage-1 tests: key families, singleton drop, skew chunking with bridges,
+exact-block star pairs, cross-key pair dedup, truncation metrics."""
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
 
 from session_graph_ray.config import ERConfig
-from session_graph_ray.stages.blocking import (
-    KeyExploder,
-    candidate_pairs,
-    pairs_via_self_join,
+from session_graph_ray.ops.pairing import (
+    FAM_EXACT,
+    FAM_MH,
+    FAM_STEM,
+    ROUTE_EXACT,
+    ROUTE_FUZZY,
+    ROUTE_METRIC,
+    pairs_from_keys,
+    split_metric_rows,
 )
-from session_graph_ray.stages.normalize import normalize
+from session_graph_ray.stages.blocking import candidate_pairs, explode_keys_batch
+from session_graph_ray.stages.normalize import normalize_core
 
 
 def _norm_ds(tiny_corpus_dir):
-    return normalize(rd.read_parquet(f"{tiny_corpus_dir}/corpus"))
+    return normalize_core(rd.read_parquet(f"{tiny_corpus_dir}/corpus"))
+
+
+def _clean_pairs(norm_ds, cfg):
+    raw = candidate_pairs(norm_ds, cfg).materialize()
+    clean, metrics = split_metric_rows(raw, cfg)
+    return clean.to_pandas(), metrics
 
 
 def test_key_exploder_families(tiny_corpus_dir):
     cfg = ERConfig()
-    batch = _norm_ds(tiny_corpus_dir).limit(20).to_pandas()
-    tbl = pa.Table.from_pandas(batch)
-    out = KeyExploder(cfg)(tbl)
-    keys = out.column("block_key").to_pylist()
-    assert any(k.startswith("sha:") for k in keys)
-    assert any(k.startswith("stem:") for k in keys)
-    assert any(k.startswith("mh:") for k in keys)
-    # every scorable row yields exactly bands + 2 keys (sha + stem + bands)
-    n_scorable = int(batch["scorable"].sum())
-    assert len(keys) <= n_scorable * (cfg.minhash_bands + 2)
+    tbl = pa.Table.from_pandas(_norm_ds(tiny_corpus_dir).limit(20).to_pandas())
+    out = explode_keys_batch(tbl, cfg)
+    fams = set(out.column("fam").to_pylist())
+    assert {FAM_EXACT, FAM_STEM, FAM_MH} <= fams
+    n_scorable = sum(tbl.column("scorable").to_pylist())
+    assert out.num_rows <= n_scorable * (cfg.minhash_bands + 2)
+    # family tag occupies the top bits: families never collide numerically
+    keys = np.array(out.column("block_key").to_pylist(), dtype=np.uint64)
+    fam_col = np.array(out.column("fam").to_pylist())
+    assert ((keys >> np.uint64(62)).astype(int) == fam_col).all()
 
 
-def test_pairs_via_self_join_singleton_and_triangle():
-    import ray.data as rdata
-
+def test_pairs_singleton_drop_and_dedup():
     cfg = ERConfig().scaled(4)
-    keys = rdata.from_items(
-        [
-            {"block_key": "k1", "file_id": "a"},   # singleton -> no pairs
-            {"block_key": "k2", "file_id": "b"},
-            {"block_key": "k2", "file_id": "c"},
-            {"block_key": "k2", "file_id": "d"},
-        ]
-    )
-    out = pairs_via_self_join(keys, cfg).to_pandas()
+    rows = {
+        # k1 singleton -> no pairs; k2 three members -> 3 pairs
+        "block_key": pa.array([1, 2, 2, 2], pa.uint64()),
+        "file_id": pa.array([10, 21, 22, 23], pa.uint64()),
+        "fam": pa.array([FAM_STEM] * 4, pa.int8()),
+        "sha": pa.array([1, 2, 3, 4], pa.uint64()),
+    }
+    out, _ = _split(pairs_from_keys(rd.from_arrow(pa.table(rows)), cfg), cfg)
     got = sorted(zip(out["id_a"], out["id_b"]))
-    assert got == [("b", "c"), ("b", "d"), ("c", "d")]  # triangle, no dups
+    assert got == [(21, 22), (21, 23), (22, 23)]
+    assert (out["route"] == ROUTE_FUZZY).all()
+
+
+def _split(ds, cfg):
+    clean, metrics = split_metric_rows(ds.materialize(), cfg)
+    return clean.to_pandas(), metrics
+
+
+def test_exact_block_star_any_size():
+    """>cap identical-content members must form ONE star (n-1 pairs), not
+    fragmented chunks — the round-1 advice finding."""
+    cfg = ERConfig(block_cap=8).scaled(4)
+    n = 100
+    rows = {
+        "block_key": pa.array([7] * n, pa.uint64()),
+        "file_id": pa.array(list(range(1000, 1000 + n)), pa.uint64()),
+        "fam": pa.array([FAM_EXACT] * n, pa.int8()),
+        "sha": pa.array([7] * n, pa.uint64()),
+    }
+    out, metrics = _split(pairs_from_keys(rd.from_arrow(pa.table(rows)), cfg), cfg)
+    assert len(out) == n - 1
+    assert (out["id_a"] == 1000).all()  # star over the min id
+    assert (out["route"] == ROUTE_EXACT).all()
+    assert metrics["hot_blocks"] == 0  # exact blocks are never chunked
+
+
+def test_hot_fuzzy_block_chunked_bridged_and_counted():
+    cfg = ERConfig(block_cap=8).scaled(4)
+    n = 40
+    rows = {
+        "block_key": pa.array([9] * n, pa.uint64()),
+        "file_id": pa.array(list(range(n)), pa.uint64()),
+        "fam": pa.array([FAM_STEM] * n, pa.int8()),
+        "sha": pa.array(list(range(100, 100 + n)), pa.uint64()),  # all distinct
+    }
+    out, metrics = _split(pairs_from_keys(rd.from_arrow(pa.table(rows)), cfg), cfg)
+    n_chunks = -(-n // 8)
+    within = n_chunks * (8 * 7 // 2)
+    bridges = n_chunks - 1
+    assert len(out) == within + bridges
+    assert metrics["hot_blocks"] == 1
+    assert metrics["dropped_cross_chunk_pairs"] == n * (n - 1) // 2 - within - bridges
+    # bridge pairs connect chunk heads: chunk0 head (0) to 8, 16, 24, 32
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    for head in (8, 16, 24, 32):
+        assert (0, head) in pairs
+
+
+def test_equal_sha_pairs_ride_the_star_not_fuzzy():
+    """Fuzzy blocks skip pairs whose content is identical (covered by the
+    exact family star) — no redundant scoring."""
+    cfg = ERConfig().scaled(4)
+    rows = {
+        "block_key": pa.array([5, 5, 5], pa.uint64()),
+        "file_id": pa.array([1, 2, 3], pa.uint64()),
+        "fam": pa.array([FAM_STEM] * 3, pa.int8()),
+        "sha": pa.array([42, 42, 99], pa.uint64()),  # 1,2 identical content
+    }
+    out, _ = _split(pairs_from_keys(rd.from_arrow(pa.table(rows)), cfg), cfg)
+    got = sorted(zip(out["id_a"], out["id_b"]))
+    assert got == [(1, 3), (2, 3)]
 
 
 def test_candidate_pairs_unique_and_ordered(tiny_corpus_dir):
     cfg = ERConfig().scaled(4)
-    pairs = candidate_pairs(_norm_ds(tiny_corpus_dir), cfg).to_pandas()
+    pairs, _ = _clean_pairs(_norm_ds(tiny_corpus_dir), cfg)
     assert (pairs["id_a"] < pairs["id_b"]).all()
-    dup = pairs.duplicated(subset=["id_a", "id_b"]).sum()
-    assert dup == 0
+    assert pairs.duplicated(subset=["id_a", "id_b"]).sum() == 0
+    assert set(pairs["route"]) <= {ROUTE_EXACT, ROUTE_FUZZY}
 
 
-def test_hot_block_salting():
-    """A block above block_cap must be split into sub-blocks (skew handling)."""
+def test_hot_block_chunking_end_to_end():
+    """A stem block above block_cap is chunked (bounded pairs), and an
+    exact-duplicate set larger than block_cap still clusters as one."""
     cfg = ERConfig(block_cap=8).scaled(4)
     n = 40
     rows = {
@@ -68,10 +140,9 @@ def test_hot_block_salting():
         "lang": ["python"] * n,
         "content": [f"def f{i}(): return {i}" * 3 for i in range(n)],
     }
-    ds = normalize(rd.from_arrow(pa.table(rows)))
-    pairs = candidate_pairs(ds, cfg).to_pandas()
-    stem_pairs = pairs[pairs["block_key"].str.startswith("stem:")]
-    # salted split: far fewer than the unsplit n*(n-1)/2 pairs survive,
-    # and each salted sub-block produced at most cap*(cap-1)/2 of them
+    ds = normalize_core(rd.from_arrow(pa.table(rows)))
+    pairs, metrics = _clean_pairs(ds, cfg)
+    stem_pairs = pairs[pairs["fam"] == FAM_STEM]
     assert 0 < len(stem_pairs) < n * (n - 1) / 2
-    assert stem_pairs["block_key"].str.contains("#").any()
+    assert metrics["hot_blocks"] >= 1
+    assert metrics["dropped_cross_chunk_pairs"] > 0

@@ -31,6 +31,8 @@ def _pair_batch(rows):
     for k, v in cols.items():
         if k.startswith("tokens_"):
             out[k] = pa.array(v, pa.binary())
+        elif k.startswith("sha_"):
+            out[k] = pa.array(v, pa.uint64())
         else:
             out[k] = pa.array(v, pa.string())
     return pa.table(out)
@@ -39,7 +41,7 @@ def _pair_batch(rows):
 def test_exact_sha_short_circuit():
     b = _pair_batch([
         dict(id_a="a", id_b="b", block_key="sha:x",
-             sha_a="h1", sha_b="h1", stem_a="totally", stem_b="different",
+             sha_a=1, sha_b=1, stem_a="totally", stem_b="different",
              tokens_a=b"", tokens_b=b"", trunc_a="x", trunc_b="zzzz")
     ])
     out = PairScorer(ERConfig())(b).to_pydict()
@@ -56,7 +58,7 @@ def test_near_duplicate_scores_above_threshold():
     content_edit = content.replace("delta", "felta", 1)
     b = _pair_batch([
         dict(id_a="a", id_b="b", block_key="stem:python:auth token",
-             sha_a="h1", sha_b="h2", stem_a="auth token", stem_b="auth tokens",
+             sha_a=1, sha_b=2, stem_a="auth token", stem_b="auth tokens",
              tokens_a=toks, tokens_b=toks_edit,
              trunc_a=content[:256], trunc_b=content_edit[:256])
     ])
@@ -67,7 +69,7 @@ def test_near_duplicate_scores_above_threshold():
 def test_unrelated_pair_scores_below_threshold():
     b = _pair_batch([
         dict(id_a="a", id_b="b", block_key="stem:python:init",
-             sha_a="h1", sha_b="h2", stem_a="init", stem_b="init",
+             sha_a=1, sha_b=2, stem_a="init", stem_b="init",
              tokens_a=_tok(["aa", "bb", "cc", "dd"]),
              tokens_b=_tok(["ww", "xx", "yy", "zz"]),
              trunc_a="import os\nAA = 1\nBB = 2\n",
@@ -80,7 +82,7 @@ def test_unrelated_pair_scores_below_threshold():
 def test_empty_tokens_no_false_jaccard():
     b = _pair_batch([
         dict(id_a="a", id_b="b", block_key="stem:python:x",
-             sha_a="h1", sha_b="h2", stem_a="x", stem_b="x",
+             sha_a=1, sha_b=2, stem_a="x", stem_b="x",
              tokens_a=b"", tokens_b=b"", trunc_a="foo", trunc_b="bar")
     ])
     out = PairScorer(ERConfig())(b).to_pydict()
