@@ -123,17 +123,15 @@ def _q_embedding_near_dup(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
-    import numpy as np
     import ray.data as rd
 
     from session_graph_ray.ops.similarity import ivf_topk
+    from session_graph_ray.pipelines.analytics import _query_vectors
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    qrows = sorted(emb.filter(lambda r: r["vec_id"] < 5).take(5),
-                   key=lambda r: r["vec_id"])
-    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
-    return ivf_topk(emb, queries, [int(r["vec_id"]) for r in qrows], k=10)
+    queries, qids = _query_vectors(sf_dir, 5)
+    return ivf_topk(emb, queries, qids, k=10)
 
 
 def _q_media_features(sf_dir: str):
@@ -171,6 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_per_type": A.q_top_users_per_type,
         "union_sources": A.q_union_sources,
         "docs_from_jsonl": A.q_docs_from_jsonl,
+        "sql_source_events": A.q_sql_source_events,
+        "jsonl_roundtrip_quarantine": A.q_jsonl_roundtrip_quarantine,
+        "event_users_concat": A.q_event_users_concat,
+        "conversation_tree": A.q_conversation_tree,
         # rows-only pipelines (non-SQL-expressible)
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
@@ -314,6 +316,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "sql_source_events": f"""
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS sum_value_c
+            FROM events GROUP BY event_type
+        """,
+        "jsonl_roundtrip_quarantine": """
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "event_users_concat": """
+            WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+            ranked AS (
+              SELECT event_type, user_id,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY user_id) AS rn
+              FROM du
+            )
+            SELECT event_type,
+                   string_agg(CAST(user_id AS VARCHAR), ','
+                              ORDER BY user_id) AS users
+            FROM ranked WHERE rn <= 5
+            GROUP BY event_type
+        """,
+        "conversation_tree": """
+            WITH head AS (
+              SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50
+            )
+            SELECT doc_id AS conv_id, CAST(0 AS BIGINT) AS seq,
+                   'user' AS role, substring(text, 1, 100) AS frag FROM head
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT), 'assistant',
+                   substring(text, 101, 100) FROM head
+            UNION ALL
+            SELECT doc_id, CAST(2 AS BIGINT), 'user',
+                   substring(text, 201, 100) FROM head
         """,
         "knn_bruteforce": """
             WITH q AS (

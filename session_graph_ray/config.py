@@ -15,6 +15,9 @@ class ERConfig:
     minhash_seed: int = 42
     shingle_k: int = 3
     content_token_cap: int = 2000
+    # which registered key providers run (registry.register_blocking_key
+    # adds new ones without touching the stages — SURVEY.md §2.12)
+    blocking_keys: tuple[str, ...] = ("sha", "stem", "minhash")
     # max rows of a fuzzy block before chunked pair generation (chunks get
     # all-pairs + star bridges; skipped cross-chunk pairs are metric-counted
     # by ops.pairing — see ROUTE_METRIC). Exact-content blocks are never
@@ -52,9 +55,13 @@ class ERConfig:
         """
         from dataclasses import replace
 
+        # scorer pool sizes to (almost) the full CPU budget: the stages that
+        # run concurrently with it (exact-route passthrough, unions) are
+        # trivial maps, so an ncpu//2 pool would idle half the machine during
+        # the scoring wall (measured at every parallelism level).
         return replace(
             self,
-            scorer_concurrency=max(2, num_cpus // 2),
+            scorer_concurrency=max(2, num_cpus - 1),
             join_partitions=max(2, min(num_cpus // 2, 16)),
         )
 

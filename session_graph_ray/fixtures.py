@@ -26,7 +26,12 @@ import pyarrow.parquet as pq
 
 from .functions.hashing import file_id_of, sha256_hex
 from .functions.minhash import MinHasher
-from .functions.text import content_tokens, token_shingles
+from .functions.text import (
+    canonical_lang,
+    content_tokens,
+    normalize_stem,
+    path_stem,
+)
 
 _WORDS = None
 
@@ -124,46 +129,42 @@ def _commit(rng: np.random.RandomState) -> str:
     return "".join("0123456789abcdef"[rng.randint(16)] for _ in range(40))
 
 
-SIZES = {"small": 600, "bench": 100000, "benchxl": 300000, "tiny": 60}
+SIZES = {"small": 600, "bench": 400000, "benchxl": 800000, "tiny": 60}
+
+_FIXTURE_VERSION = "v3"  # bump on any change to generation or blocking keys
 
 
-def generate_corpus(out_dir: str, size: str = "small", seed: int = 42) -> dict:
-    """Write corpus / labeled_pairs / expected_clusters / invariants parquet.
+def _shard_bounds(total: int, n_shards: int, si: int) -> tuple[int, int]:
+    per = -(-total // n_shards)
+    return si * per, min(total, (si + 1) * per)
 
-    Returns summary counts. Idempotent: if out_dir holds a matching manifest,
-    generation is skipped (same seed => same bytes anyway).
+
+def _gen_shard(args) -> dict:
+    """Generate one deterministic shard of the corpus (parallel worker).
+
+    Each shard owns a contiguous base-index range; its rng seeds from
+    (seed, shard), so the corpus is byte-identical for any worker count.
+    Everything label-related is shard-local: intra-cluster co-blocking is
+    checked inside the shard (clusters never span shards), only the
+    hot-name negative pairs need the driver's global view.
     """
-    os.makedirs(out_dir, exist_ok=True)
-    # v2: band keys follow the pipeline's numeric shingle hashing (hash64 of
-    # tokens -> rolling combine -> multiply-shift MinHash); bump on any change
-    # to the blocking key derivation so cached labels never go stale
-    marker = os.path.join(out_dir, f".done-{size}-{seed}-v2")
-    if os.path.exists(marker):
-        import json
-
-        with open(marker) as f:
-            return json.load(f)
-
-    n_base = SIZES[size]
-    rng = np.random.RandomState(seed)
-    pool = _word_pool(rng)
+    (si, n_shards, n_base, seed, pool, repos, out_dir) = args
+    rng = np.random.RandomState((seed * 1_000_003 + si) % (2**31 - 1))
     mh = MinHasher()  # pipeline-identical params => honest 'mh:' labels
 
-    repos = [f"org{i % 37}/proj{i}" for i in range(max(8, n_base // 12))]
-
-    rows: list[dict] = []  # repo, path, commit, lang, content
-    clusters: list[list[int]] = []  # row indices per planted cluster
-    mh_only_pairs: list[tuple[int, int]] = []  # pairs only minhash can block
-    stem_edit_pairs: list[tuple[int, int]] = []  # content-edit pairs (stem block)
-    sha_pairs: list[tuple[int, int]] = []  # identical-content pairs
+    rows: list[dict] = []
+    clusters: list[list[int]] = []
+    mh_only = 0
 
     def add_row(repo, path, commit, lang, content) -> int:
         rows.append(
-            {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+            {"repo": repo, "path": path, "commit": commit, "lang": lang,
+             "content": content}
         )
         return len(rows) - 1
 
-    for b in range(n_base):
+    lo, hi = _shard_bounds(n_base, n_shards, si)
+    for _b in range(lo, hi):
         lang, ext = _LANGS[rng.randint(len(_LANGS))]
         repo = repos[rng.randint(len(repos))]
         depth = rng.randint(1, 4)
@@ -173,33 +174,25 @@ def generate_corpus(out_dir: str, size: str = "small", seed: int = 42) -> dict:
         content = _gen_content(rng, pool, ident_count=rng.randint(18, 40))
         base_idx = add_row(repo, path, _commit(rng), lang, content)
 
-        r = rng.random_sample()
-        if r < 0.35:  # this base gets a duplicate cluster
+        if rng.random_sample() < 0.35:  # this base gets a duplicate cluster
             members = [base_idx]
-            n_var = rng.randint(1, 5)
-            for _ in range(n_var):
+            for _ in range(rng.randint(1, 5)):
                 kind = rng.randint(5)
                 other_repo = repos[rng.randint(len(repos))]
                 if kind == 0:  # exact copy
                     j = add_row(other_repo, path, _commit(rng), lang, content)
-                    sha_pairs.append((base_idx, j))
                 elif kind == 1:  # path rename, identical content
                     j = add_row(repo, _rename_stem(rng, path), _commit(rng), lang, content)
-                    sha_pairs.append((base_idx, j))
                 elif kind == 2:  # small content edit, same path
-                    edited = _edit_content(rng, content, pool, 0.05)
-                    j = add_row(other_repo, path, _commit(rng), lang, edited)
-                    stem_edit_pairs.append((base_idx, j))
+                    j = add_row(other_repo, path, _commit(rng), lang,
+                                _edit_content(rng, content, pool, 0.05))
                 elif kind == 3:  # vendored copy
                     pref = ["vendor/", "third_party/"][rng.randint(2)]
                     j = add_row(other_repo, pref + path, _commit(rng), lang, content)
-                    sha_pairs.append((base_idx, j))
                 else:  # rename + light edit: only MinHash bands co-block it
-                    edited = _edit_content(rng, content, pool, 0.03)
-                    j = add_row(
-                        other_repo, _rename_stem(rng, path), _commit(rng), lang, edited
-                    )
-                    mh_only_pairs.append((base_idx, j))
+                    j = add_row(other_repo, _rename_stem(rng, path), _commit(rng),
+                                lang, _edit_content(rng, content, pool, 0.03))
+                    mh_only += 1
                 members.append(j)
             clusters.append(members)
         else:
@@ -207,30 +200,30 @@ def generate_corpus(out_dir: str, size: str = "small", seed: int = 42) -> dict:
 
     # hot-name skew files: unrelated contents sharing one stem+lang block
     n_hot = max(12, n_base // 10)
-    for h in range(n_hot):
+    hlo, hhi = _shard_bounds(n_hot, n_shards, si)
+    hot_fid_pos: list[tuple[int, int, int]] = []  # (global h, hot family, row idx)
+    for h in range(hlo, hhi):
         name, lang = _HOT_NAMES[h % len(_HOT_NAMES)]
         repo = repos[rng.randint(len(repos))]
         content = _gen_content(rng, pool, ident_count=rng.randint(18, 40))
         i = add_row(repo, f"pkg{h}/{name}", _commit(rng), lang, content)
         clusters.append([i])
+        hot_fid_pos.append((h, h % len(_HOT_NAMES), i))
 
     # filter-path coverage: empty / whitespace-only rows (singletons)
-    for e in range(max(4, n_base // 150)):
+    n_empty = max(4, n_base // 150)
+    elo, ehi = _shard_bounds(n_empty, n_shards, si)
+    for e in range(elo, ehi):
         lang, ext = _LANGS[rng.randint(len(_LANGS))]
         i = add_row(
-            repos[rng.randint(len(repos))],
-            f"empty/e{e}{ext}",
-            _commit(rng),
-            lang,
-            "" if e % 2 == 0 else "   \n\t  \n",
+            repos[rng.randint(len(repos))], f"empty/e{e}{ext}", _commit(rng),
+            lang, "" if e % 2 == 0 else "   \n\t  \n",
         )
         clusters.append([i])
 
-    # ---- materialize ids and tables -------------------------------------
+    # ---- ids + shard parquet -------------------------------------------
     fids = [file_id_of(r["repo"], r["path"], r["commit"]) for r in rows]
-    assert len(set(fids)) == len(fids), "file_id collision in generator"
     shas = [sha256_hex(r["content"]) for r in rows]
-
     corpus = pa.table(
         {
             "repo": pa.array([r["repo"] for r in rows], pa.string()),
@@ -240,61 +233,24 @@ def generate_corpus(out_dir: str, size: str = "small", seed: int = 42) -> dict:
             "content": pa.array([r["content"] for r in rows], pa.large_string()),
         }
     )
-    # sharded layout (one dir, ~8k-row part files): read parallelism at 32
-    # CPUs needs many input files/row-groups, and a sharded corpus mirrors the
-    # partitioned-input reality of a web-scale run (resumable-output rule)
-    corpus_dir = os.path.join(out_dir, "corpus")
-    os.makedirs(corpus_dir, exist_ok=True)
-    shard_rows = 8192
-    n_shards = max(1, (corpus.num_rows + shard_rows - 1) // shard_rows)
-    for si in range(n_shards):
-        pq.write_table(
-            corpus.slice(si * shard_rows, shard_rows),
-            os.path.join(corpus_dir, f"part-{si:05d}.parquet"),
-            row_group_size=shard_rows,
-        )
-
-    invariants = pa.table(
-        {"file_id": pa.array(fids, pa.string()), "content_sha256": pa.array(shas, pa.string())}
+    pq.write_table(
+        corpus, os.path.join(out_dir, "corpus", f"part-{si:05d}.parquet"),
+        row_group_size=8192,
     )
-    pq.write_table(invariants, os.path.join(out_dir, "invariants.parquet"))
 
-    # ---- labeled same-block pairs ---------------------------------------
-    # The metric (BASELINE.json) scopes F1 to pairs AT THE SAME BLOCKING KEY,
-    # so only pairs that verifiably co-occur under a key are labeled, and the
-    # expected clusters are the connected components REACHABLE through those
-    # co-blocked pairs (ground truth conditioned on the blocking design —
-    # mh-band misses, ~1% of rename+edit variants, are out of metric scope).
-    def ordered(i, j):
-        a, b = fids[i], fids[j]
-        return (a, b) if a < b else (b, a)
-
-    la, lb, lkey, lmatch = [], [], [], []
-    pos_edges: list[tuple[int, int]] = []  # co-blocked true-match row pairs
-
-    def label(i, j, key, is_match):
-        a, b = ordered(i, j)
-        la.append(a)
-        lb.append(b)
-        lkey.append(key)
-        lmatch.append(is_match)
-        if is_match:
-            pos_edges.append((i, j))
-
-    # every intra-cluster pair is checked for co-blocking exactly the way the
-    # pipeline blocks (sha key / lang+stem key / MinHash band overlap) — the
-    # reachable closure can run through sibling variants, not just the base
-    from .functions.text import canonical_lang, normalize_stem, path_stem
+    # ---- shard-local labeled pairs (BASELINE.json metric scope) ---------
+    # Only pairs that verifiably co-occur under a blocking key are labeled,
+    # exactly the way the pipeline blocks (sha key / lang+stem key / MinHash
+    # band overlap); expected clusters are the components reachable through
+    # those co-blocked pairs.
+    from .functions.hashing import hash64_np
+    from .functions.minhash import shingle_vals
 
     sig_cache: dict[int, set] = {}
 
     def bands_of(i: int) -> set:
-        # EXACTLY the pipeline's derivation (stages/blocking.explode_keys_batch):
-        # content_tokens -> hash64 -> rolling shingle combine -> minhash bands
+        # EXACTLY the pipeline's derivation (stages/blocking.explode_keys_batch)
         if i not in sig_cache:
-            from .functions.hashing import hash64_np
-            from .functions.minhash import shingle_vals
-
             toks = content_tokens(rows[i]["content"])
             sig = mh.signature_from_vals(shingle_vals(hash64_np(toks), 3))
             sig_cache[i] = set(mh.band_keys_u64(sig).tolist())
@@ -304,45 +260,116 @@ def generate_corpus(out_dir: str, size: str = "small", seed: int = 42) -> dict:
         r = rows[i]
         return f"{canonical_lang(r['lang'])}:{normalize_stem(path_stem(r['path']))}"
 
+    labeled: list[tuple[str, str, str, bool]] = []
+    pos_edges: list[tuple[str, str]] = []
     mh_hits = 0
+
+    def ordered(i, j):
+        a, b = fids[i], fids[j]
+        return (a, b) if a < b else (b, a)
+
     for members in clusters:
         for x in range(len(members) - 1):
             for y in range(x + 1, len(members)):
                 i, j = members[x], members[y]
+                a, b = ordered(i, j)
                 if shas[i] == shas[j]:
-                    label(i, j, f"sha:{shas[i][:16]}", True)
+                    labeled.append((a, b, f"sha:{shas[i][:16]}", True))
                 elif stem_key(i) == stem_key(j):
-                    label(i, j, f"stem:{stem_key(i)}", True)
+                    labeled.append((a, b, f"stem:{stem_key(i)}", True))
                 else:
                     shared = bands_of(i) & bands_of(j)
                     if shared:
-                        label(i, j, f"mh:{sorted(shared)[0]}", True)
+                        labeled.append((a, b, f"mh:{sorted(shared)[0]}", True))
                         mh_hits += 1
-                    # else: not co-blocked under any key -> out of metric scope
+                    else:
+                        continue  # not co-blocked under any key -> out of scope
+                pos_edges.append((fids[i], fids[j]))
 
-    # expected clusters: union-find over co-blocked positive pairs;
-    # canonical = min(file_id) (order-free, fixes the reference's list-order
-    # uris[0] election, link_entities.py:749)
-    parent = list(range(len(rows)))
+    return {
+        "fids": fids,
+        "shas": shas,
+        "labeled": labeled,
+        "pos_edges": pos_edges,
+        "hot": [(h, fam, fids[i]) for h, fam, i in hot_fid_pos],
+        "mh_only": mh_only,
+        "mh_hits": mh_hits,
+        "n_clusters": sum(1 for c in clusters if len(c) > 1),
+    }
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
 
-    for i, j in pos_edges:
-        ri, rj = find(i), find(j)
-        if ri != rj:
-            parent[ri] = rj
-    comp: dict[int, list[int]] = {}
-    for i in range(len(rows)):
-        comp.setdefault(find(i), []).append(i)
+def generate_corpus(out_dir: str, size: str = "small", seed: int = 42) -> dict:
+    """Write corpus / labeled_pairs / expected_clusters / invariants parquet.
+
+    Deterministic for any worker count (per-shard seeded rngs); idempotent
+    (a marker keyed by size+rows+seed+version skips regeneration). Shards
+    generate AND label in parallel; only the cross-shard pieces (hot-name
+    negative pairs, the union-find over positive edges) run on the driver.
+    """
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, f".done-{size}-{SIZES[size]}-{seed}-{_FIXTURE_VERSION}")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+
+    n_base = SIZES[size]
+    rng = np.random.RandomState(seed)
+    pool = _word_pool(rng)
+    repos = [f"org{i % 37}/proj{i}" for i in range(max(8, n_base // 12))]
+    n_shards = max(1, min(16, n_base // 8192))
+    os.makedirs(os.path.join(out_dir, "corpus"), exist_ok=True)
+
+    args = [
+        (si, n_shards, n_base, seed, pool, repos, out_dir)
+        for si in range(n_shards)
+    ]
+    if n_shards == 1:
+        shards = [_gen_shard(args[0])]
+    else:
+        import concurrent.futures as cf
+
+        with cf.ProcessPoolExecutor(max_workers=min(n_shards, os.cpu_count() or 4)) as ex:
+            shards = list(ex.map(_gen_shard, args))
+
+    fids = [f for sh in shards for f in sh["fids"]]
+    shas = [s for sh in shards for s in sh["shas"]]
+    assert len(set(fids)) == len(fids), "file_id collision in generator"
+
+    pq.write_table(
+        pa.table(
+            {"file_id": pa.array(fids, pa.string()),
+             "content_sha256": pa.array(shas, pa.string())}
+        ),
+        os.path.join(out_dir, "invariants.parquet"),
+    )
+
+    # ---- expected clusters: union-find over co-blocked positive pairs;
+    # canonical = min(file_id) (order-free — fixes the reference's
+    # list-order uris[0] election, link_entities.py:749)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for sh in shards:
+        for a, b in sh["pos_edges"]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    comp: dict[str, list[str]] = {}
+    for f in fids:
+        comp.setdefault(find(f), []).append(f)
     cl_fid, cl_cid, cl_canon = [], [], []
     for members in comp.values():
-        mfids = [fids[i] for i in members]
-        canon = min(mfids)
-        for f in mfids:
+        canon = min(members)
+        for f in members:
             cl_fid.append(f)
             cl_cid.append(f"c-{canon}")
             cl_canon.append(canon)
@@ -357,25 +384,29 @@ def generate_corpus(out_dir: str, size: str = "small", seed: int = 42) -> dict:
         os.path.join(out_dir, "expected_clusters.parquet"),
     )
 
-    # negative same-block pairs: hot-name files share a stem+lang block
-    hot_rows: dict[tuple[str, str], list[int]] = {}
-    for idx, r in enumerate(rows):
-        base = r["path"].rsplit("/", 1)[-1]
-        for name, lang in _HOT_NAMES:
-            if base == name:
-                hot_rows.setdefault((name, lang), []).append(idx)
+    # ---- negative same-block pairs: hot-name files share a stem+lang block
+    labeled: list[tuple[str, str, str, bool]] = [
+        t for sh in shards for t in sh["labeled"]
+    ]
+    hot_by_fam: dict[int, list[tuple[int, str]]] = {}
+    for sh in shards:
+        for h, fam, fid in sh["hot"]:
+            hot_by_fam.setdefault(fam, []).append((h, fid))
     neg = 0
-    for (_name, _lang), idxs in hot_rows.items():
+    for fam in sorted(hot_by_fam):
+        idxs = [fid for _h, fid in sorted(hot_by_fam[fam])]
         for x in range(len(idxs) - 1):
             if neg >= 4000:
                 break
-            label(idxs[x], idxs[x + 1], "stem", False)
-            label(idxs[x], idxs[(x + 7) % len(idxs)], "stem", False) if len(idxs) > 7 else None
+            a, b = idxs[x], idxs[x + 1]
+            labeled.append((min(a, b), max(a, b), "stem", False))
+            if len(idxs) > 7:
+                a, b = idxs[x], idxs[(x + 7) % len(idxs)]
+                labeled.append((min(a, b), max(a, b), "stem", False))
             neg += 1
 
-    # dedup labels on the (a,b) pair
-    seen_pairs = {}
-    for a, b, k, m in zip(la, lb, lkey, lmatch):
+    seen_pairs: dict[tuple[str, str], tuple[str, bool]] = {}
+    for a, b, k, m in labeled:
         if a == b:
             continue
         seen_pairs.setdefault((a, b), (k, m))
@@ -392,17 +423,16 @@ def generate_corpus(out_dir: str, size: str = "small", seed: int = 42) -> dict:
     )
 
     summary = {
-        "rows": len(rows),
-        "clusters": sum(1 for c in clusters if len(c) > 1),
+        "rows": len(fids),
+        "clusters": sum(sh["n_clusters"] for sh in shards),
         "labeled_pairs": len(seen_pairs),
         "positives": sum(1 for v in seen_pairs.values() if v[1]),
-        "mh_only_pairs": len(mh_only_pairs),
-        "mh_band_hits": mh_hits,
+        "mh_only_pairs": sum(sh["mh_only"] for sh in shards),
+        "mh_band_hits": sum(sh["mh_hits"] for sh in shards),
         "seed": seed,
         "size": size,
+        "n_shards": n_shards,
     }
-    import json
-
     with open(marker, "w") as f:
         json.dump(summary, f)
     return summary

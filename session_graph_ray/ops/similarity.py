@@ -87,6 +87,67 @@ def _farthest_point_centroids(sample: np.ndarray, c: int, seed: int) -> np.ndarr
     return np.stack(cents)
 
 
+def train_ivf_centroids(
+    ds: "ray.data.Dataset",
+    n_centroids: int = 64,
+    n_iter: int = 4,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_per_block: int = 512,
+) -> np.ndarray:
+    """Distributed mini-batch k-means over the embedding column.
+
+    - init: deterministic per-block subsampling (every block contributes
+      <= sample_per_block rows — no driver ``take`` over the head of the
+      dataset, which at 100 TB would see one shard's distribution) ->
+      farthest-point sweep over the gathered sample.
+    - refine: ``n_iter`` Lloyd rounds where each block emits per-centroid
+      partial (sum, count) matrices (C x d — tiny regardless of data size);
+      a native Sum aggregate reduces them and the driver recomputes the
+      (C x d) centroid matrix. Data never leaves the workers; per round the
+      shuffle moves blocks x C x d floats.
+    """
+    def block_sample(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if mat.shape[0] > sample_per_block:
+            # deterministic, content-independent stride sample
+            idx = np.linspace(0, mat.shape[0] - 1, sample_per_block).astype(int)
+            mat = mat[idx]
+        return pa.table({"v": pa.array(list(_unit(mat)), pa.list_(pa.float64()))})
+
+    sample_tbl = ds.map_batches(
+        block_sample, batch_format="pyarrow", batch_size=8192
+    ).take_all()
+    sample = np.asarray([r["v"] for r in sample_tbl], dtype=np.float64)
+    cents = _unit(_farthest_point_centroids(sample, n_centroids, seed))
+
+    d = cents.shape[1]
+    for _ in range(n_iter):
+        cref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            mat = _unit(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+            cell = np.argmax(mat @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, cell, mat)
+            counts = np.bincount(cell, minlength=c.shape[0]).astype(np.float64)
+            flat = np.concatenate([sums.ravel(), counts])
+            return pa.table({"p": pa.array([flat.tobytes()], pa.binary())})
+
+        rows = ds.map_batches(partials, batch_format="pyarrow",
+                              batch_size=65536).take_all()
+        acc = np.zeros(n_centroids * d + n_centroids)
+        for r in rows:
+            acc += np.frombuffer(r["p"], dtype=np.float64)
+        sums = acc[: n_centroids * d].reshape(n_centroids, d)
+        counts = acc[n_centroids * d:]
+        nonzero = counts > 0
+        cents = cents.copy()
+        cents[nonzero] = _unit(sums[nonzero] / counts[nonzero, None])
+    return cents
+
+
 def ivf_topk(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -97,17 +158,21 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    sample_limit: int = 4096,
+    n_iter: int = 2,
+    centroids: np.ndarray | None = None,
 ) -> "ray.data.Dataset":
     """IVF-pruned approximate top-k: probe only the n_probe nearest cells.
 
-    Centroids come from a deterministic farthest-point sweep over a driver
-    sample (small), broadcast once. Filtering to probed cells happens inside
-    map_batches — untouched cells never feed the scorer."""
-    sample = np.asarray(
-        [r[vec_col] for r in ds.take(sample_limit)], dtype=np.float64
-    )
-    cents = _unit(_farthest_point_centroids(_unit(sample), n_centroids, seed))
+    Centroids default to :func:`train_ivf_centroids` (distributed k-means —
+    per-block sampled init + Lloyd rounds of per-block partial sums; round
+    1's driver ``ds.take(4096)`` head sample is gone). Pass ``centroids`` to
+    reuse a trained codebook across query batches (the 100-TB pattern:
+    train once, probe many)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            ds, n_centroids=n_centroids, n_iter=n_iter, vec_col=vec_col, seed=seed
+        )
+    cents = _unit(np.asarray(centroids, dtype=np.float64))
     q = _unit(np.asarray(queries, dtype=np.float64))
     probed: set[int] = set()
     for qi in range(len(q)):

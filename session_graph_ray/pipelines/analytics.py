@@ -260,14 +260,23 @@ def q_knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> "rd.Datase
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    qrows = sorted(
-        (r for r in emb.filter(lambda r: r["vec_id"] < n_queries).take(n_queries)),
-        key=lambda r: r["vec_id"],
-    )
-    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
-    qids = [int(r["vec_id"]) for r in qrows]
+    queries, qids = _query_vectors(sf_dir, n_queries)
     out = brute_force_topk(emb, queries, qids, k=k)
     return out.select_columns(["query_id", "vec_id"])
+
+
+def _query_vectors(sf_dir: str, n_queries: int):
+    """The first n query vectors via parquet predicate pushdown (row-group
+    pruning at the read — round-1's per-row ``ds.filter(lambda)`` full scan
+    is exactly the anti-pattern this replaces)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    ).sort_by("vec_id")
+    queries = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    return queries, [int(x) for x in t.column("vec_id").to_pylist()]
 
 
 def q_order_priorities(sf_dir: str) -> "rd.Dataset":
@@ -388,4 +397,160 @@ def q_docs_from_jsonl(sf_dir: str) -> "rd.Dataset":
     ds = rd.read_json(jdir)
     return ds.groupby("lang").aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def _tag_of(path: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(path.encode()).hexdigest()[:12]
+
+
+def q_sql_source_events(sf_dir: str) -> "rd.Dataset":
+    """SQLite source (reference S4, /root/reference/pipeline/warp_to_rdf.py:
+    59-87): the events table mirrored into a SQLite database (fixture,
+    cached), read back through the partitioned rowid-range reader, then a
+    grouped aggregate — oracle-checked against the original parquet."""
+    import os
+    import sqlite3
+
+    from ..sources.sqlite import read_sqlite_table
+
+    src = f"{sf_dir}/events.parquet"
+    db = f"/tmp/sgr_sqlite/{_tag_of(src)}/events.db"
+    if not os.path.exists(db):
+        os.makedirs(os.path.dirname(db), exist_ok=True)
+        df = pd.read_parquet(src, columns=["event_id", "event_type", "user_id",
+                                           "value"])
+        tmp = db + ".tmp"
+        con = sqlite3.connect(tmp)
+        con.execute(
+            "CREATE TABLE events (event_id INTEGER, event_type TEXT,"
+            " user_id INTEGER, value REAL)"
+        )
+        con.executemany(
+            "INSERT INTO events VALUES (?,?,?,?)",
+            list(df.itertuples(index=False, name=None)),
+        )
+        con.commit()
+        con.close()
+        os.replace(tmp, db)
+
+    ev = read_sqlite_table(db, "events",
+                           columns=["event_type", "user_id", "value"],
+                           n_partitions=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t["event_type"], "value_c": _cents(t["value"])}
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_c", alias_name="sum_value_c"))
+    )
+
+
+def q_jsonl_roundtrip_quarantine(sf_dir: str) -> "rd.Dataset":
+    """JSONL sink + robust re-read (reference K3 + S1/M10): documents written
+    with ``Dataset.write_json``, malformed lines injected, read back through
+    the quarantining reader — bad lines land in the error channel, clean
+    rows aggregate to exactly the source truth."""
+    import os
+
+    from ..sources.jsonl import clean_rows, read_jsonl_robust, write_jsonl
+
+    src = f"{sf_dir}/documents.parquet"
+    jdir = f"/tmp/sgr_jsonl_rt/{_tag_of(src)}"
+    if not os.path.isdir(jdir):
+        tmp = jdir + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        docs = rd.read_parquet(src, columns=["doc_id", "source", "n_chars"])
+        write_jsonl(docs, tmp)
+        with open(os.path.join(tmp, "bad-lines.jsonl"), "w") as f:
+            f.write('{"doc_id": broken json\n')
+            f.write("not json at all\n")
+            f.write('[1, 2, 3]\n')
+        os.replace(tmp, jdir)
+
+    parsed = read_jsonl_robust(
+        jdir,
+        {"doc_id": pa.int64(), "source": pa.string(), "n_chars": pa.int64()},
+    )
+    return clean_rows(parsed).groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def q_event_users_concat(sf_dir: str, k: int = 5) -> "rd.Dataset":
+    """Capped grouped collect + GROUP_CONCAT analog (reference J8/A8,
+    /root/reference/pipeline/link_entities.py:437-493): per event type the k
+    smallest distinct user ids joined into one string."""
+    from ..ops.collect import string_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return string_agg(ev, key="event_type", value="user_id", sep=",",
+                      cap=k, distinct=True).map_batches(
+        lambda t: t.rename_columns(["event_type", "users"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_conversation_tree(sf_dir: str, n_conversations: int = 50) -> "rd.Dataset":
+    """ZIP-archive source + DFS tree flatten (reference S2/S3 + M2,
+    /root/reference/pipeline/deepseek_to_rdf.py:41-63, 89-162): a synthetic
+    conversation export built deterministically from the documents table
+    (each doc becomes a 3-node root->child->grandchild chain whose fragments
+    are fixed substrings), flattened to (conv_id, seq, role, frag) rows —
+    oracle = UNION ALL of the same substrings in SQL."""
+    import json
+    import os
+    import zipfile
+
+    from ..sources.archives import read_zip_conversations
+
+    src = f"{sf_dir}/documents.parquet"
+    zdir = f"/tmp/sgr_zip/{_tag_of(src)}-{n_conversations}"
+    zpath = f"{zdir}/conversations.zip"
+    if not os.path.exists(zpath):
+        os.makedirs(zdir, exist_ok=True)
+        df = (
+            pd.read_parquet(src, columns=["doc_id", "text"])
+            .sort_values("doc_id")
+            .head(n_conversations)
+        )
+        convs = []
+        for r in df.itertuples(index=False):
+            d = int(r.doc_id)
+            text = r.text or ""
+            convs.append(
+                {
+                    "id": d,
+                    "mapping": {
+                        f"{d}-0": {"parent": None, "children": [f"{d}-1"],
+                                   "message": {"role": "user",
+                                               "text": text[0:100]}},
+                        f"{d}-1": {"parent": f"{d}-0", "children": [f"{d}-2"],
+                                   "message": {"role": "assistant",
+                                               "text": text[100:200]}},
+                        f"{d}-2": {"parent": f"{d}-1", "children": [],
+                                   "message": {"role": "user",
+                                               "text": text[200:300]}},
+                    },
+                }
+            )
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("conversations.json", json.dumps(convs))
+        os.replace(tmp, zpath)
+
+    out = read_zip_conversations(zpath)
+    return out.map_batches(
+        lambda t: t.rename_columns(["conv_id", "seq", "role", "frag"]),
+        batch_format="pyarrow",
     )

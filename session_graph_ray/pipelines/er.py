@@ -70,6 +70,11 @@ def run_er_pipeline(
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     metrics: dict = {}
 
+    import os
+    import time
+
+    trace = bool(os.environ.get("SGR_TRACE"))
+
     def stage(name: str, build):
         """Compute-or-load with lineage truncation at each stage boundary.
 
@@ -79,6 +84,7 @@ def run_er_pipeline(
         labels; never ``content``), so pinning them avoids re-executing the
         whole upstream lineage every time a downstream consumer runs.
         """
+        t0 = time.time()
         if ckpt is not None and ckpt.is_done(name, fp):
             metrics[name] = {"resumed": True}
             return ckpt.load(name)
@@ -88,9 +94,19 @@ def run_er_pipeline(
             metrics[name] = {"resumed": False, "rows": ckpt.manifest["stages"][name]["rows"]}
         else:
             ds = ds.materialize()
+        if trace:
+            print(f"[er] stage {name}: {time.time() - t0:.2f}s", flush=True)
         return ds
 
-    corpus = ray.data.read_parquet(paths)
+    # Block-count discipline: Ray's sort-shuffle cost scales with
+    # (input blocks x reduce partitions), and every downstream operator
+    # inherits the read's block count. ~2 blocks per CPU balances shuffle
+    # overhead (a groupby over 100 blocks costs 4x one over 32 at identical
+    # row counts) against straggler packing (1 block per CPU leaves cores
+    # idle behind the slowest task).
+    corpus = ray.data.read_parquet(
+        paths, override_num_blocks=max(8, (cfg.scorer_concurrency + 1) * 2)
+    )
 
     features = stage(
         "features", lambda: features_view(normalize(corpus, batch_size=cfg.batch_size))
@@ -113,7 +129,11 @@ def run_er_pipeline(
 
     scores = stage("scores", lambda: score_pairs(pairs, features, cfg, n_features=n_feat))
     edges = stage("edges", lambda: match_edges(scores, cfg))
-    labels = stage("labels", lambda: propagate_labels(edges, cfg))
+    if ckpt is not None and "rows" in metrics.get("edges", {}):
+        n_edges = metrics["edges"]["rows"]
+    else:
+        n_edges = edges.count()  # metadata-only on the materialized stage
+    labels = stage("labels", lambda: propagate_labels(edges, cfg, n_edges=n_edges))
     assign = stage(
         "assignments",
         lambda: assignments_hex(

@@ -41,6 +41,7 @@ from ..config import ERConfig
 from ..functions.hashing import hash64_np
 from ..functions.minhash import MinHasher, shingle_vals
 from ..functions.text import content_tokens
+from ..registry import blocking_key_provider, register_blocking_key
 from ..ops.pairing import (
     FAM_EXACT,
     FAM_MH,
@@ -76,35 +77,48 @@ def _hasher(cfg: ERConfig) -> MinHasher:
     return _MH_CACHE[k]
 
 
-def explode_keys_batch(batch: pa.Table, cfg: ERConfig) -> pa.Table:
-    """One corpus row -> ~2 + bands KEYS_SCHEMA rows (vectorized per family)."""
-    mh = _hasher(cfg)
-    scor = batch.column("scorable").to_numpy(zero_copy_only=False)
-    idx = np.flatnonzero(scor)
-    n = idx.size
-    if n == 0:
+def _keys_table(keys, fids, fam: int, shas) -> pa.Table:
+    return pa.table(
+        {
+            "block_key": pa.array(keys, pa.uint64()),
+            "file_id": pa.array(fids, pa.uint64()),
+            "fam": pa.array(np.full(len(fids), fam, dtype=np.int8), pa.int8()),
+            "sha": pa.array(shas, pa.uint64()),
+        }
+    )
+
+
+@register_blocking_key("sha")
+def sha_keys(batch: pa.Table, cfg: ERConfig) -> pa.Table:
+    """Exact-content block: the content sha prefix IS the key (FAM_EXACT —
+    downstream emits a star over the block min, any size)."""
+    sha = batch.column("sha_u64").to_numpy(zero_copy_only=False).astype(np.uint64)
+    fid = batch.column("file_id_u64").to_numpy(zero_copy_only=False).astype(np.uint64)
+    return _keys_table(_tag(sha, FAM_EXACT), fid, FAM_EXACT, sha)
+
+
+@register_blocking_key("stem")
+def stem_keys(batch: pa.Table, cfg: ERConfig) -> pa.Table:
+    """lang + normalized-path-stem block."""
+    sha = batch.column("sha_u64").to_numpy(zero_copy_only=False).astype(np.uint64)
+    fid = batch.column("file_id_u64").to_numpy(zero_copy_only=False).astype(np.uint64)
+    langs = batch.column("lang_norm").to_pylist()
+    stems = batch.column("stem_norm").to_pylist()
+    si = np.flatnonzero(np.array([bool(s) for s in stems]))
+    if not si.size:
         return KEYS_SCHEMA.empty_table()
-    take = pa.array(idx)
-    fid = batch.column("file_id_u64").take(take).to_numpy(zero_copy_only=False).astype(np.uint64)
-    sha = batch.column("sha_u64").take(take).to_numpy(zero_copy_only=False).astype(np.uint64)
-    langs = batch.column("lang_norm").take(take).to_pylist()
-    stems = batch.column("stem_norm").take(take).to_pylist()
-    contents = batch.column("content").take(take).to_pylist()
+    stem_h = hash64_np([f"{langs[i]}\x1f{stems[i]}" for i in si])
+    return _keys_table(_tag(stem_h, FAM_STEM), fid[si], FAM_STEM, sha[si])
 
-    keys: list[np.ndarray] = [_tag(sha, FAM_EXACT)]
-    fids: list[np.ndarray] = [fid]
-    fams: list[np.ndarray] = [np.full(n, FAM_EXACT, dtype=np.int8)]
-    shas: list[np.ndarray] = [sha]
 
-    has_stem = np.array([bool(s) for s in stems])
-    si = np.flatnonzero(has_stem)
-    if si.size:
-        stem_h = hash64_np([f"{langs[i]}\x1f{stems[i]}" for i in si])
-        keys.append(_tag(stem_h, FAM_STEM))
-        fids.append(fid[si])
-        fams.append(np.full(si.size, FAM_STEM, dtype=np.int8))
-        shas.append(sha[si])
-
+@register_blocking_key("minhash")
+def minhash_keys(batch: pa.Table, cfg: ERConfig) -> pa.Table:
+    """MinHash-LSH band blocks over content-token shingles."""
+    mh = _hasher(cfg)
+    sha = batch.column("sha_u64").to_numpy(zero_copy_only=False).astype(np.uint64)
+    fid = batch.column("file_id_u64").to_numpy(zero_copy_only=False).astype(np.uint64)
+    contents = batch.column("content").to_pylist()
+    n = len(contents)
     bands = mh.bands
     band_keys = np.empty(n * bands, dtype=np.uint64)
     for i in range(n):
@@ -112,19 +126,26 @@ def explode_keys_batch(batch: pa.Table, cfg: ERConfig) -> pa.Table:
         vals = shingle_vals(hash64_np(toks), cfg.shingle_k)
         sig = mh.signature_from_vals(vals)
         band_keys[i * bands : (i + 1) * bands] = mh.band_keys_u64(sig)
-    keys.append(_tag(band_keys, FAM_MH))
-    fids.append(np.repeat(fid, bands))
-    fams.append(np.full(n * bands, FAM_MH, dtype=np.int8))
-    shas.append(np.repeat(sha, bands))
-
-    return pa.table(
-        {
-            "block_key": pa.array(np.concatenate(keys), pa.uint64()),
-            "file_id": pa.array(np.concatenate(fids), pa.uint64()),
-            "fam": pa.array(np.concatenate(fams), pa.int8()),
-            "sha": pa.array(np.concatenate(shas), pa.uint64()),
-        }
+    return _keys_table(
+        _tag(band_keys, FAM_MH), np.repeat(fid, bands), FAM_MH, np.repeat(sha, bands)
     )
+
+
+def explode_keys_batch(batch: pa.Table, cfg: ERConfig) -> pa.Table:
+    """One corpus row -> KEYS_SCHEMA rows from every configured key provider
+    (``cfg.blocking_keys``; pluggable via registry.register_blocking_key)."""
+    scor = batch.column("scorable").to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(scor)
+    if idx.size == 0:
+        return KEYS_SCHEMA.empty_table()
+    sub = batch.take(pa.array(idx))
+    parts = [
+        blocking_key_provider(name)(sub, cfg) for name in cfg.blocking_keys
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return KEYS_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
 
 
 def derive_block_keys(norm_ds: "ray.data.Dataset", cfg: ERConfig) -> "ray.data.Dataset":
@@ -142,8 +163,20 @@ def candidate_pairs(
     """Full blocking stage: deduped pairs ``(id_a, id_b, block_key, fam,
     route)`` (uint64 ids; route==0 means exact-content backed) plus
     ROUTE_METRIC sentinel rows — split them off with
-    ``ops.pairing.split_metric_rows`` after materializing."""
-    return pairs_from_keys(derive_block_keys(norm_ds, cfg), cfg)
+    ``ops.pairing.split_metric_rows`` after materializing.
+
+    The final repartition restores scoring parallelism: the dedup groupby
+    coalesces its output to a handful of blocks (measured: 4 at bench scale),
+    which would cap the downstream scorer actor pool at 4 concurrent tasks.
+    """
+    # keys are materialized before the shuffle: the groupby is a pipeline
+    # breaker regardless (Ray sort-shuffles its whole input), and fusing the
+    # read+normalize+explode chain into the shuffle-map tasks measurably
+    # serializes them (13-23s vs 4s at bench scale). The keys table is the
+    # compact (u64,u64,i8,u64) projection — content never materializes.
+    keys = derive_block_keys(norm_ds, cfg).materialize()
+    pairs = pairs_from_keys(keys, cfg)
+    return pairs.repartition(max(cfg.scorer_concurrency * 4, cfg.join_partitions * 2))
 
 
 __all__ = [

@@ -156,10 +156,13 @@ def _join_msgs(
 def propagate_labels(
     edges: "ray.data.Dataset", cfg: ERConfig,
     checkpoint_cb=None,
+    n_edges: int | None = None,
 ) -> "ray.data.Dataset":
     """(id_a, id_b) uint64 match edges -> (node, label) with label = min
     reachable id. ``checkpoint_cb(round_idx, labels_ds)`` is invoked per
-    round when given (per-round lineage checkpointing hook)."""
+    round when given (per-round lineage checkpointing hook). Pass ``n_edges``
+    when the caller already knows the edge count (stage manifest /
+    materialized metadata) to avoid an extra materialize+count pass."""
 
     def bidirect(batch: pa.Table) -> pa.Table:
         a = pc.cast(batch.column("id_a"), pa.uint64()).combine_chunks()
@@ -168,15 +171,29 @@ def propagate_labels(
             {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
         )
 
-    B = cfg.join_partitions * 4
+    def part_of(n_rows: int) -> int:
+        # volume-adaptive round shape: per-round shuffle overhead scales with
+        # partition count, so size partitions to the edge volume (~500k rows
+        # per partition) — a small edge table (post-threshold) iterates in
+        # narrow rounds, a 100-TB one uses the full configured width
+        return max(2, min(cfg.join_partitions, -(-n_rows // 500_000)))
+
+    narrow = edges.select_columns(["id_a", "id_b"])
+    if n_edges is None:
+        narrow = narrow.materialize()
+        n_edges = narrow.count()
+    n_bidir = 2 * n_edges
+    P = part_of(n_bidir)
+    # repartition BEFORE the bidirect map: edges inherit the (wide) upstream
+    # block count; coalescing first means P map tasks instead of hundreds
     bidir = (
-        edges.select_columns(["id_a", "id_b"])
+        narrow.repartition(P)
         .map_batches(bidirect, batch_format="pyarrow")
-        .repartition(cfg.join_partitions)
         .materialize()
     )
-    if bidir.count() == 0:  # nothing to merge: all-singleton corpus
+    if n_bidir == 0:  # nothing to merge: all-singleton corpus
         return ray.data.from_arrow(_LABELS_SCHEMA.empty_table())
+    B = P * 4
 
     def init_labels(batch: pa.Table) -> pa.Table:
         # seed with min(self, neighbors): equals the result of round 1 at no
@@ -188,17 +205,37 @@ def propagate_labels(
              "label": pa.concat_arrays([src, dst])}
         )
 
-    labels = _min_by_node(
-        bidir.map_batches(init_labels, batch_format="pyarrow"), B
-    ).materialize()
+    import os
+    import time
+
+    trace = bool(os.environ.get("SGR_TRACE"))
+    t0 = time.time()
+    # per-round repartition: a groupby's output block count is the sum of its
+    # inputs' — unbounded, the union of msgs+labels would grow it geometrically
+    # across rounds (16 -> 48 -> 112 -> 240 blocks measured), and shuffle cost
+    # scales with input blocks. Pinning to join_partitions keeps every round
+    # identically shaped.
+    labels = (
+        _min_by_node(bidir.map_batches(init_labels, batch_format="pyarrow"), B)
+        .repartition(P)
+        .materialize()
+    )
     prev_sum = _checksum(labels)
+    if trace:
+        print(f"[labels] init: {time.time() - t0:.2f}s "
+              f"blocks={labels.num_blocks()}", flush=True)
     converged = False
     for rnd in range(cfg.max_cluster_rounds):
+        t0 = time.time()
         msgs = _join_msgs(bidir, labels.select_columns(["node", "label"]), B)
-        new_labels = _min_by_node(
-            msgs.union(labels.select_columns(["node", "label"])), B
-        ).materialize()
+        new_labels = (
+            _min_by_node(msgs.union(labels.select_columns(["node", "label"])), B)
+            .repartition(P)
+            .materialize()
+        )
         new_sum = _checksum(new_labels)
+        if trace:
+            print(f"[labels] round {rnd}: {time.time() - t0:.2f}s", flush=True)
         labels = new_labels
         if checkpoint_cb is not None:
             checkpoint_cb(rnd, labels)

@@ -65,9 +65,17 @@ class PairScorer:
     def __init__(self, cfg: ERConfig):
         import duckdb
 
+        from ..registry import scorer_extra_features
+
         self.cfg = cfg
         self.con = duckdb.connect()
         self.con.execute("SET threads TO 1")  # the actor owns exactly 1 CPU
+        # pluggable extra features (SURVEY.md §2.12): loaded once per actor;
+        # the blend renormalizes so built-in weights keep their ratios
+        self.extras = scorer_extra_features()
+        self.denom = cfg.w_jw + cfg.w_tj + cfg.w_lev + sum(
+            w for _n, w, _f in self.extras
+        )
 
     def _token_jaccard(self, ta: list[bytes], tb: list[bytes]) -> np.ndarray:
         """Pre-hashed sorted-unique uint32 token sets -> exact Jaccard."""
@@ -104,7 +112,11 @@ class PairScorer:
             batch.column("tokens_a").to_pylist(), batch.column("tokens_b").to_pylist()
         )
 
-        upper = cfg.w_jw * jw + cfg.w_tj * tj + cfg.w_lev
+        extra_sum = np.zeros(n)
+        for _name, w, fn in self.extras:
+            extra_sum += w * np.clip(np.asarray(fn(batch), dtype=np.float64), 0.0, 1.0)
+
+        upper = (cfg.w_jw * jw + cfg.w_tj * tj + extra_sum + cfg.w_lev) / self.denom
         need_lev = (~exact) & (upper >= cfg.score_threshold)
         lev = np.ones(n)
         if need_lev.any():
@@ -124,7 +136,7 @@ class PairScorer:
             lev[idx] = lev_sub
         self.con.unregister("batch")
 
-        score = cfg.w_jw * jw + cfg.w_tj * tj + cfg.w_lev * lev
+        score = (cfg.w_jw * jw + cfg.w_tj * tj + extra_sum + cfg.w_lev * lev) / self.denom
         jw = np.where(exact, 1.0, jw)
         tj = np.where(exact, 1.0, tj)
         lev = np.where(exact, 1.0, lev)
