@@ -289,10 +289,16 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 12,
     seed: int = 42,
+    bucket_cap: int = 4096,
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-dup: random-hyperplane LSH buckets, then exact
     cosine verification within buckets. Scale path: bucket count 2^n_planes
-    bounds each groupby partition; brute force only within buckets."""
+    bounds each groupby partition; brute force only within buckets, and a
+    degenerate bucket (e.g. many zero-ish vectors hashing together) is
+    chunked at ``bucket_cap`` members — all pairs within each sorted-id
+    chunk, cross-chunk pairs skipped (bounded O(n*cap) worst case; same
+    capped-block discipline as ops.pairing, which near-identical vectors
+    mostly survive because every chunk is checked exhaustively)."""
     import pandas as pd
 
     def bucketize_factory():
@@ -321,17 +327,27 @@ def embedding_near_dup_pairs(
     bucketed = ds.map_batches(bucketize_factory(), batch_format="pyarrow")
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        mat = np.asarray(g["unit"].tolist(), dtype=np.float64)
-        sims = mat @ mat.T
-        iu = np.triu_indices(len(ids), k=1)
-        mask = sims[iu] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(ids[iu[0]][mask], ids[iu[1]][mask]),
-                "id_b": np.maximum(ids[iu[0]][mask], ids[iu[1]][mask]),
-                "cosine": sims[iu][mask],
-            }
+        order = np.argsort(g[id_col].to_numpy())
+        ids_all = g[id_col].to_numpy()[order]
+        mat_all = np.asarray(g["unit"].tolist(), dtype=np.float64)[order]
+        outs = []
+        for s in range(0, len(ids_all), bucket_cap):
+            ids = ids_all[s : s + bucket_cap]
+            mat = mat_all[s : s + bucket_cap]
+            sims = mat @ mat.T
+            iu = np.triu_indices(len(ids), k=1)
+            mask = sims[iu] >= threshold
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ids[iu[0]][mask], ids[iu[1]][mask]),
+                        "id_b": np.maximum(ids[iu[0]][mask], ids[iu[1]][mask]),
+                        "cosine": sims[iu][mask],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {"id_a": [], "id_b": [], "cosine": []}
         )
 
     return bucketed.groupby("bucket").map_groups(verify_bucket, batch_format="pandas")

@@ -401,9 +401,15 @@ def q_docs_from_jsonl(sf_dir: str) -> "rd.Dataset":
 
 
 def _tag_of(path: str) -> str:
+    """Cache key for /tmp fixture mirrors: includes the source file's size
+    and mtime so a regenerated testdata file invalidates stale mirrors."""
     import hashlib
+    import os
 
-    return hashlib.sha256(path.encode()).hexdigest()[:12]
+    st = os.stat(path)
+    return hashlib.sha256(
+        f"{path}|{st.st_size}|{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
 
 
 def q_sql_source_events(sf_dir: str) -> "rd.Dataset":

@@ -119,6 +119,10 @@ def run_er_pipeline(
     ))
     pairs, blocking_metrics = split_metric_rows(pairs_raw, cfg)
     metrics["blocking"] = blocking_metrics
+    if ckpt is not None:
+        # truncation counters land in the manifest next to the stage's
+        # partition inventory (the "no silent caps" rule — SURVEY.md §7.4)
+        ckpt.annotate("pairs", blocking_metrics)
 
     # row count for the indexed-vs-join decision comes from the manifest /
     # materialized metadata — NOT a lineage re-execution (round-1 finding)

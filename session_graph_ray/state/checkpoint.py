@@ -128,6 +128,16 @@ class CheckpointManager:
         self._flush_manifest()
         return ray.data.read_parquet(final)
 
+    def annotate(self, stage: str, metrics: dict) -> None:
+        """Attach/merge metrics onto an already-recorded stage (e.g. the
+        blocking truncation counters, which are only known after the pairs
+        stage materializes)."""
+        ent = self.manifest["stages"].get(stage)
+        if ent is None:
+            return
+        ent.setdefault("metrics", {}).update(metrics)
+        self._flush_manifest()
+
     def invalidate_from(self, stage: str, order: list[str]) -> None:
         """Drop a stage and everything after it (used by resume tests)."""
         if stage not in order:
