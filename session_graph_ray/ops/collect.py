@@ -27,12 +27,16 @@ def collect_list(
     values in ascending order (deterministic — the reference sorts its
     context triples for the same reason, ``link_entities.py:486-489``)."""
 
-    def gather(g: pd.DataFrame) -> pd.DataFrame:
+    def gather(g: pd.DataFrame):
+        from .util import pd_to_arrow
+
         vals = g[value]
         if distinct:
             vals = vals.drop_duplicates()
         vals = vals.sort_values().head(cap)
-        return pd.DataFrame({key: [g[key].iloc[0]], "values": [vals.tolist()]})
+        return pd_to_arrow(
+            pd.DataFrame({key: [g[key].iloc[0]], "values": [vals.tolist()]})
+        )
 
     return (
         ds.select_columns([key, value])
@@ -59,8 +63,12 @@ def string_agg(
         vals = vals.sort_values()  # native dtype order (ints sort numerically)
         if cap is not None:
             vals = vals.head(cap)
-        return pd.DataFrame(
-            {key: [g[key].iloc[0]], "agg": [sep.join(vals.astype(str).tolist())]}
+        from .util import pd_to_arrow
+
+        return pd_to_arrow(
+            pd.DataFrame(
+                {key: [g[key].iloc[0]], "agg": [sep.join(vals.astype(str).tolist())]}
+            )
         )
 
     return (

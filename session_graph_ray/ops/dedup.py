@@ -346,8 +346,11 @@ def embedding_near_dup_pairs(
                     }
                 )
             )
-        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+        from .util import pd_to_arrow
+
+        out = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
             {"id_a": [], "id_b": [], "cosine": []}
         )
+        return pd_to_arrow(out)
 
     return bucketed.groupby("bucket").map_groups(verify_bucket, batch_format="pandas")

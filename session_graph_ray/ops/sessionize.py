@@ -55,7 +55,9 @@ def sessionize_counts(
             n_sessions=("brk", "sum"), n_events=("brk", "size")
         )
         agg["n_sessions"] = agg["n_sessions"] + 1
-        return agg[[user_col, "n_sessions", "n_events"]]
+        from .util import pd_to_arrow
+
+        return pd_to_arrow(agg[[user_col, "n_sessions", "n_events"]])
 
     return _bucketed(events, user_col, ts_col).map_groups(
         per_bucket, batch_format="pandas"
@@ -92,7 +94,11 @@ def session_spans(
         spans = out.groupby([user_col, "session_id"], as_index=False).agg(
             start_ts=("ts", "min"), end_ts=("ts", "max"), n_events=("ts", "size")
         )
-        return spans[[user_col, "session_id", "start_ts", "end_ts", "n_events"]]
+        from .util import pd_to_arrow
+
+        return pd_to_arrow(
+            spans[[user_col, "session_id", "start_ts", "end_ts", "n_events"]]
+        )
 
     return _bucketed(events, user_col, ts_col).map_groups(
         per_bucket, batch_format="pandas"

@@ -71,7 +71,9 @@ def brute_force_topk(
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank"]]
+        from .util import pd_to_arrow
+
+        return pd_to_arrow(g[["query_id", "vec_id", "rank"]])
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 

@@ -352,9 +352,11 @@ def q_top_users_per_type(sf_dir: str, k: int = 3) -> "rd.Dataset":
         Count(alias_name="n_events")
     )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
+    def topk(g: pd.DataFrame):
+        from ..ops.util import pd_to_arrow
+
         g = g.sort_values(["n_events", "user_id"], ascending=[False, True]).head(k)
-        return g[["event_type", "user_id", "n_events"]]
+        return pd_to_arrow(g[["event_type", "user_id", "n_events"]])
 
     return counts.groupby("event_type").map_groups(topk, batch_format="pandas")
 

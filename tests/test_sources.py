@@ -130,8 +130,8 @@ def test_collect_list_and_string_agg():
          {"k": "a", "v": 3}, {"k": "b", "v": 9}]
     )
     cl = collect_list(ds, "k", "v", cap=2).to_pandas().set_index("k")
-    assert cl.loc["a", "values"] == [1, 3]  # distinct, sorted, capped
-    assert cl.loc["b", "values"] == [9]
+    assert list(cl.loc["a", "values"]) == [1, 3]  # distinct, sorted, capped
+    assert list(cl.loc["b", "values"]) == [9]
 
     sa = string_agg(ds, "k", "v", cap=3).to_pandas().set_index("k")
     assert sa.loc["a", "agg"] == "1,3,5"
