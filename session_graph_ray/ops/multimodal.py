@@ -1,20 +1,35 @@
-"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata, decoded
+and feature-extracted by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (image/audio libraries are not in
-this environment — see module guards); everything Ray-side is real and
-tested: schema handling, actor-pool stage shape, small batch sizes for wide
-binary rows, and the output layout. Swap ``_decode_image_stub`` for a real
-decoder (PIL/torchvision/ffmpeg) on a cluster that has it.
+Decode support in THIS environment (no PIL / ffmpeg / soundfile installed):
+
+- ``image``: REAL decoder for binary PPM (P6) — pure numpy header+pixel
+  parse; features are per-channel means/stds plus a 4x4 grayscale thumbnail.
+  Other image formats (JPEG/PNG) are gated behind an import-try of PIL and
+  quarantine cleanly when it is absent.
+- ``audio``: REAL decoder for PCM16 WAV via the stdlib ``wave`` module —
+  sample rate, duration, RMS, zero-crossing rate, 8-bin spectrum.
+- ``video``: REAL frame sampling over a raw-frame container
+  (``RVID`` header + concatenated RGB24 frames): every k-th frame is
+  decoded and per-frame features averaged. Codec containers (mp4 etc.)
+  would need ffmpeg and are gated the same way.
+
+Everything Ray-side is the production shape: actor pool (decoder state once
+per actor), small batches for wide binary rows, row-level quarantine
+(``decode_error`` column) instead of task failure — the reference's
+parse-salvage discipline (``/root/reference/pipeline/triple_extraction.py:
+390-514``) applied to media.
 
 Batch sizing note (100 TB reality): binary payloads dominate block size —
 callers should use small ``batch_size`` (128-512) and rely on Arrow
-``large_binary`` so a batch × pool concurrency fits worker heaps.
+``large_binary`` so a batch x pool concurrency fits worker heaps.
 """
 
 from __future__ import annotations
 
-import hashlib
+import io
 import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -30,21 +45,59 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+FEATURE_DIM = 32
+
+
+# --------------------------------------------------------------------------
+# synthetic (but REAL-format) media generation
+# --------------------------------------------------------------------------
+
+
+def _make_ppm(rng: np.random.RandomState, w: int, h: int) -> bytes:
+    pixels = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def _make_wav(rng: np.random.RandomState, sr: int, n: int) -> bytes:
+    t = np.arange(n) / sr
+    freq = float(rng.randint(100, 2000))
+    samples = (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _make_rawvid(rng: np.random.RandomState, w: int, h: int, frames: int) -> bytes:
+    header = b"RVID" + struct.pack("<III", w, h, frames)
+    body = rng.randint(0, 256, size=(frames, h, w, 3), dtype=np.uint8).tobytes()
+    return header + body
+
 
 def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows: payload = seeded bytes with a tiny
-    16-byte header encoding (width, height, channels, sample_rate)."""
+    """Deterministic media rows in REAL stdlib-decodable formats: PPM images,
+    PCM16 WAV clips, raw-frame video containers."""
     rng = np.random.RandomState(seed)
     ids, kinds, payloads, metas = [], [], [], []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        w, h, c, sr = int(rng.randint(8, 256)), int(rng.randint(8, 256)), 3, 16000
-        header = struct.pack("<IIII", w, h, c, sr)
-        body = rng.bytes(int(rng.randint(64, 2048)))
+        if kind == "image":
+            w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
+            payloads.append(_make_ppm(rng, w, h))
+            metas.append(f'{{"w":{w},"h":{h},"format":"ppm"}}')
+        elif kind == "audio":
+            sr, nsamp = 16000, int(rng.randint(800, 4000))
+            payloads.append(_make_wav(rng, sr, nsamp))
+            metas.append(f'{{"sr":{sr},"n":{nsamp},"format":"wav"}}')
+        else:
+            w, h, fr = int(rng.randint(8, 32)), int(rng.randint(8, 32)), int(rng.randint(4, 12))
+            payloads.append(_make_rawvid(rng, w, h, fr))
+            metas.append(f'{{"w":{w},"h":{h},"frames":{fr},"format":"rvid"}}')
         ids.append(f"m{i:05d}")
         kinds.append(kind)
-        payloads.append(header + body)
-        metas.append(f'{{"w":{w},"h":{h}}}')
     return pa.table(
         {
             "media_id": pa.array(ids, pa.string()),
@@ -55,46 +108,125 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     )
 
 
-def _decode_image_stub(payload: bytes) -> dict:
-    """STUB decoder. A real deployment replaces this with PIL/libjpeg.
+# --------------------------------------------------------------------------
+# decoders
+# --------------------------------------------------------------------------
 
-    Reads the deterministic fake header; 'pixels' become a stable hash-derived
-    feature so downstream stages have real numbers to flow.
-    """
+
+def _image_features(pixels: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 -> FEATURE_DIM floats: channel stats + 4x4 thumbnail."""
+    f = np.zeros(FEATURE_DIM)
+    px = pixels.astype(np.float64) / 255.0
+    f[0:3] = px.mean(axis=(0, 1))
+    f[3:6] = px.std(axis=(0, 1))
+    gray = px.mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(4 + 1) * h // 4).clip(max=h)
+    xs = (np.arange(4 + 1) * w // 4).clip(max=w)
+    thumb = np.array(
+        [
+            gray[ys[i]: max(ys[i + 1], ys[i] + 1),
+                 xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
+            for i in range(4)
+            for j in range(4)
+        ]
+    )
+    f[6:22] = thumb
+    return f
+
+
+def decode_image(payload: bytes) -> dict:
+    """PPM (P6) decode, pure numpy. Non-PPM images require PIL (gated)."""
+    if payload[:2] == b"P6":
+        # header: 'P6\n<w> <h>\n<maxval>\n' then raw RGB
+        parts = payload.split(b"\n", 3)
+        if len(parts) < 4:
+            raise ValueError("truncated PPM header")
+        w, h = (int(x) for x in parts[1].split())
+        pixels = np.frombuffer(parts[3][: w * h * 3], dtype=np.uint8)
+        if pixels.size < w * h * 3:
+            raise ValueError("truncated PPM body")
+        pixels = pixels.reshape(h, w, 3)
+        return {"width": w, "height": h, "feature": _image_features(pixels)}
     try:
-        import PIL.Image  # noqa: F401  — not present in this container
-        raise NotImplementedError("real decode path not wired in this sandbox")
+        import PIL.Image  # noqa: F401 — absent in this container
     except ImportError:
-        pass
-    if len(payload) < 16:
-        raise ValueError("payload too short for fake header")
-    w, h, c, sr = struct.unpack("<IIII", payload[:16])
-    digest = hashlib.sha256(payload).digest()
-    feat = np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
-    return {"width": w, "height": h, "channels": c, "feature": feat}
+        raise NotImplementedError(
+            "non-PPM image decode requires PIL (not installed in this sandbox)"
+        ) from None
+    raise NotImplementedError("PIL path not wired")
+
+
+def decode_audio(payload: bytes) -> dict:
+    """PCM16 WAV decode via stdlib wave: duration/RMS/ZCR/8-bin spectrum."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sr = wf.getframerate()
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    f = np.zeros(FEATURE_DIM)
+    f[0] = sr
+    f[1] = n / sr if sr else 0.0
+    f[2] = float(np.sqrt((samples**2).mean())) if samples.size else 0.0
+    f[3] = float((np.diff(np.signbit(samples)) != 0).mean()) if samples.size > 1 else 0.0
+    if samples.size:
+        spec = np.abs(np.fft.rfft(samples))
+        bins = np.array_split(spec, 8)
+        f[4:12] = [b.mean() for b in bins]
+    return {"width": 0, "height": 0, "feature": f}
+
+
+def decode_video(payload: bytes, frame_stride: int = 2) -> dict:
+    """Raw-frame container (RVID) decode + every-k-th frame sampling; codec
+    containers would need ffmpeg (gated)."""
+    if payload[:4] != b"RVID":
+        raise NotImplementedError(
+            "codec video decode requires ffmpeg (not installed in this sandbox)"
+        )
+    w, h, frames = struct.unpack("<III", payload[4:16])
+    body = np.frombuffer(payload[16: 16 + frames * h * w * 3], dtype=np.uint8)
+    if body.size < frames * h * w * 3:
+        raise ValueError("truncated RVID body")
+    vid = body.reshape(frames, h, w, 3)
+    sampled = vid[::frame_stride] if frames else vid
+    feats = np.stack([_image_features(fr) for fr in sampled])
+    f = feats.mean(axis=0)
+    f[22] = frames
+    f[23] = len(sampled)
+    return {"width": w, "height": h, "feature": f}
 
 
 class MediaFeatureExtractor:
     """Actor-pool stage: decode + fixed-size feature vector per media row.
 
-    __init__ holds the (stub) model state once per actor; __call__ handles a
+    ``__init__`` holds decoder state once per actor; ``__call__`` handles a
     small batch of wide binary rows. Rows that fail to decode land in the
-    quarantine columns instead of failing the task (row-level quarantine,
+    quarantine column instead of failing the task (row-level quarantine,
     SURVEY.md §4 retry design)."""
 
-    def __init__(self, feature_dim: int = 32):
+    def __init__(self, feature_dim: int = FEATURE_DIM, frame_stride: int = 2):
         self.dim = feature_dim
+        self.frame_stride = frame_stride
+        self.decoders = {
+            "image": decode_image,
+            "audio": decode_audio,
+            "video": lambda p: decode_video(p, self.frame_stride),
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
         payloads = batch.column("payload").to_pylist()
         widths, heights, feats, errors = [], [], [], []
-        for p in payloads:
+        for kind, p in zip(kinds, payloads):
             try:
-                d = _decode_image_stub(p)
-                widths.append(d["width"])
-                heights.append(d["height"])
-                feats.append(d["feature"][: self.dim].tolist())
+                dec = self.decoders.get(kind)
+                if dec is None:
+                    raise ValueError(f"unknown media kind {kind!r}")
+                d = dec(p)
+                widths.append(int(d["width"]))
+                heights.append(int(d["height"]))
+                feats.append(np.asarray(d["feature"])[: self.dim].tolist())
                 errors.append(None)
             except Exception as e:  # quarantine, don't crash the task
                 widths.append(0)

@@ -177,21 +177,31 @@ def test_media_feature_plumbing():
         synthesize_media_table,
     )
 
-    media = rd.from_arrow(synthesize_media_table(n=32))
+    tbl = synthesize_media_table(n=32)
+    media = rd.from_arrow(tbl)
     out = extract_media_features(media, concurrency=2).to_pandas()
+    out = out.merge(
+        tbl.select(["media_id", "kind"]).to_pandas(), on="media_id"
+    ).set_index("media_id")
     assert len(out) == 32
-    ok = out["decode_error"].isna()
-    assert ok.all()
-    assert (out["width"] > 0).all()
+    assert out["decode_error"].isna().all()  # every REAL format decodes
     assert out["feature"].map(len).eq(32).all()
+    # image + video decode real dimensions; audio has none
+    assert (out.loc[out["kind"] != "audio", "width"] > 0).all()
+    # audio features carry the sample rate in slot 0
+    audio_feats = out.loc[out["kind"] == "audio", "feature"]
+    assert all(f[0] == 16000 for f in audio_feats)
+    # video: slot 22 = total frames, slot 23 = sampled frames (stride 2)
+    vid_feats = out.loc[out["kind"] == "video", "feature"]
+    assert all(f[22] >= f[23] >= 1 for f in vid_feats)
 
-    # quarantine path: truncated payload must not fail the task
+    # quarantine path: garbage payloads must not fail the task
     bad = pa.table(
         {
-            "media_id": pa.array(["bad1"], pa.string()),
-            "kind": pa.array(["image"], pa.string()),
-            "payload": pa.array([b"x"], pa.large_binary()),
-            "meta": pa.array(["{}"], pa.string()),
+            "media_id": pa.array(["bad1", "bad2"], pa.string()),
+            "kind": pa.array(["image", "video"], pa.string()),
+            "payload": pa.array([b"x", b"nope"], pa.large_binary()),
+            "meta": pa.array(["{}", "{}"], pa.string()),
         }
     )
     out2 = extract_media_features(rd.from_arrow(bad), concurrency=2).to_pandas()
