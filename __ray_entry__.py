@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip_quarantine": A.q_jsonl_roundtrip_quarantine,
         "event_users_concat": A.q_event_users_concat,
         "conversation_tree": A.q_conversation_tree,
+        "events_sliding_window": A.q_events_sliding_window,
+        "cross_source_langs": A.q_cross_source_langs,
         # rows-only pipelines (non-SQL-expressible)
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
@@ -342,6 +344,23 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY user_id) AS users
             FROM ranked WHERE rn <= 5
             GROUP BY event_type
+        """,
+        "events_sliding_window": f"""
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day,
+                   CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS sum3_c
+            FROM daily
+        """,
+        "cross_source_langs": """
+            SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents GROUP BY lang
+            HAVING COUNT(DISTINCT source) > 1
         """,
         "conversation_tree": """
             WITH head AS (

@@ -402,6 +402,32 @@ def q_docs_from_jsonl(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def q_events_sliding_window(sf_dir: str, window_rows: int = 3) -> "rd.Dataset":
+    """Sliding-window aggregate over a keyed stream (custom windowed
+    operator): per event type, ordered by day, the moving sum of daily value
+    totals over the current + 2 preceding days-with-data (SQL ROWS frame)."""
+    from ..ops.window import sliding_rows_sum
+
+    daily = q_events_daily(sf_dir).select_columns(["event_type", "day", "sum_value_c"])
+    return sliding_rows_sum(
+        daily, key="event_type", order="day", value="sum_value_c",
+        window_rows=window_rows, out_col="sum3_c",
+    )
+
+
+def q_cross_source_langs(sf_dir: str) -> "rd.Dataset":
+    """Cross-source overlap (reference A8: HAVING COUNT(DISTINCT ...) > 1,
+    ``/root/reference/pipeline/sample_queries.sparql:141-152``): languages
+    appearing in more than one source, via two-level groupby + filter."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    per_pair = docs.groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+    out = per_pair.groupby("lang").aggregate(Count(alias_name="n_sources"))
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(t["n_sources"], pa.scalar(1))),
+        batch_format="pyarrow",
+    )
+
+
 def _tag_of(path: str) -> str:
     """Cache key for /tmp fixture mirrors: includes the source file's size
     and mtime so a regenerated testdata file invalidates stale mirrors."""
