@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_tree": A.q_conversation_tree,
         "events_sliding_window": A.q_events_sliding_window,
         "cross_source_langs": A.q_cross_source_langs,
+        "event_props_stats": A.q_event_props_stats,
         # rows-only pipelines (non-SQL-expressible)
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
@@ -361,6 +362,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
             FROM documents GROUP BY lang
             HAVING COUNT(DISTINCT source) > 1
+        """,
+        "event_props_stats": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
         """,
         "conversation_tree": """
             WITH head AS (

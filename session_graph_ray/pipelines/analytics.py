@@ -415,6 +415,35 @@ def q_events_sliding_window(sf_dir: str, window_rows: int = 3) -> "rd.Dataset":
     )
 
 
+def q_event_props_stats(sf_dir: str) -> "rd.Dataset":
+    """JSON-blob field extraction (reference M4: Warp stores JSON inside SQL
+    columns and the reader parses ``input`` JSON per row,
+    ``/root/reference/pipeline/warp_to_rdf.py:89-112``): parse ``props``,
+    pull the numeric field, grouped aggregate. Robust per-row parse — a bad
+    blob contributes null, never a task failure (M10 discipline)."""
+    import json
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t.column("props").to_pylist():
+            try:
+                out.append(int(json.loads(s)["k"]))
+            except (TypeError, ValueError, KeyError):
+                out.append(None)
+        return pa.table(
+            {"event_type": t["event_type"], "k": pa.array(out, pa.int64())}
+        )
+
+    return (
+        ev.map_batches(extract, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+
+
 def q_cross_source_langs(sf_dir: str) -> "rd.Dataset":
     """Cross-source overlap (reference A8: HAVING COUNT(DISTINCT ...) > 1,
     ``/root/reference/pipeline/sample_queries.sparql:141-152``): languages
