@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": A.q_events_sliding_window,
         "cross_source_langs": A.q_cross_source_langs,
         "event_props_stats": A.q_event_props_stats,
+        "doc_char_jaccard": A.q_doc_char_jaccard,
         # rows-only pipelines (non-SQL-expressible)
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
@@ -369,6 +370,14 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_k,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY event_type
+        """,
+        "doc_char_jaccard": """
+            SELECT d1.doc_id,
+                   CAST(FLOOR(jaccard(d1.text, d2.text) * 1000000 + 0.5)
+                        AS BIGINT) AS jacc_u
+            FROM documents d1
+            JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+            WHERE d1.doc_id + 1 < 100
         """,
         "conversation_tree": """
             WITH head AS (

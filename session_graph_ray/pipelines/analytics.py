@@ -444,6 +444,53 @@ def q_event_props_stats(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def q_doc_char_jaccard(sf_dir: str, n_docs: int = 100) -> "rd.Dataset":
+    """String-similarity kernel parity check: character-set Jaccard between
+    consecutive documents (oracle: DuckDB's ``jaccard`` function). The join
+    is the generic consecutive-id self-join shape (reference J1 analog,
+    parent-message resolution); the similarity runs per row in the batch.
+    Output is micro-units (floor(j*1e6+0.5)) — the integer value-hash
+    contract."""
+    from ..ops.join import bucket_join, rename_batches
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def head_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["doc_id"], pa.scalar(n_docs)))
+
+    head = docs.map_batches(head_filter, batch_format="pyarrow")
+    a = rename_batches(head, {"text": "text_a"})
+    b = head.map_batches(
+        lambda t: pa.table(
+            {"k2": pc.subtract(t["doc_id"], pa.scalar(1)), "text_b": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        a, b, left_on="doc_id", right_on="k2",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text_a", pa.string())]),
+        right_schema=pa.schema([("k2", pa.int64()), ("text_b", pa.string())]),
+    )
+
+    def jacc(t: pa.Table) -> pa.Table:
+        ta = t.column("text_a").to_pylist()
+        tb = t.column("text_b").to_pylist()
+        out = []
+        for x, y in zip(ta, tb):
+            # byte-set Jaccard — exactly DuckDB's jaccard() semantics
+            # (UTF-8 byte sets, case-sensitive, multiset-collapsed)
+            sa, sb = set((x or "").encode()), set((y or "").encode())
+            u = len(sa | sb)
+            j = (len(sa & sb) / u) if u else 1.0
+            out.append(int(np.floor(j * 1_000_000 + 0.5)))
+        return pa.table(
+            {"doc_id": t["doc_id"], "jacc_u": pa.array(out, pa.int64())}
+        )
+
+    return joined.map_batches(jacc, batch_format="pyarrow")
+
+
 def q_cross_source_langs(sf_dir: str) -> "rd.Dataset":
     """Cross-source overlap (reference A8: HAVING COUNT(DISTINCT ...) > 1,
     ``/root/reference/pipeline/sample_queries.sparql:141-152``): languages
