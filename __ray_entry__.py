@@ -177,6 +177,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_langs": A.q_cross_source_langs,
         "event_props_stats": A.q_event_props_stats,
         "doc_char_jaccard": A.q_doc_char_jaccard,
+        "events_asof_order": A.q_events_asof_order,
+        "event_value_quantiles": A.q_event_value_quantiles,
+        "doc_length_deciles": A.q_doc_length_deciles,
+        "events_pivot": A.q_events_pivot,
         # rows-only pipelines (non-SQL-expressible)
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
@@ -391,6 +395,51 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, CAST(2 AS BIGINT), 'user',
                    substring(text, 201, 100) FROM head
+        """,
+        "events_asof_order": """
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "event_value_quantiles": f"""
+            WITH v AS (
+              SELECT event_type, {_CENTS.format(x='value')} AS v_c FROM events
+            ),
+            ranked AS (
+              SELECT event_type, v_c,
+                     row_number() OVER (PARTITION BY event_type ORDER BY v_c) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM v
+            )
+            SELECT event_type,
+                   CAST(MAX(CASE WHEN rn = CAST(CEIL(0.50*n) AS BIGINT)
+                            THEN v_c END) AS BIGINT) AS p50_c,
+                   CAST(MAX(CASE WHEN rn = CAST(CEIL(0.90*n) AS BIGINT)
+                            THEN v_c END) AS BIGINT) AS p90_c,
+                   CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99*n) AS BIGINT)
+                            THEN v_c END) AS BIGINT) AS p99_c
+            FROM ranked GROUP BY event_type
+        """,
+        "doc_length_deciles": """
+            SELECT lang, n_chars, doc_id,
+                   CAST(ntile(10) OVER (PARTITION BY lang
+                        ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+            FROM documents
+        """,
+        "events_pivot": f"""
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                        THEN {_CENTS.format(x='value')} END), 0) AS BIGINT) AS click_c,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                        THEN {_CENTS.format(x='value')} END), 0) AS BIGINT) AS error_c,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                        THEN {_CENTS.format(x='value')} END), 0) AS BIGINT) AS purchase_c,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'
+                        THEN {_CENTS.format(x='value')} END), 0) AS BIGINT) AS signup_c,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                        THEN {_CENTS.format(x='value')} END), 0) AS BIGINT) AS view_c,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -664,3 +664,81 @@ def q_conversation_tree(sf_dir: str, n_conversations: int = 50) -> "rd.Dataset":
         lambda t: t.rename_columns(["conv_id", "seq", "role", "frag"]),
         batch_format="pyarrow",
     )
+
+
+def q_events_asof_order(sf_dir: str) -> "rd.Dataset":
+    """As-of temporal join: each event annotated with the customer's latest
+    order date at-or-before the event timestamp (null when none precedes)."""
+    from ..ops.asof import asof_join_backward
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    ts_us = pa.timestamp("us")
+    return asof_join_backward(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_out={"o_orderdate": "last_order_date"},
+        left_schema=pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", ts_us)]
+        ),
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("o_orderdate", ts_us)]
+        ),
+    )
+
+
+def q_event_value_quantiles(sf_dir: str) -> "rd.Dataset":
+    """Exact discrete p50/p90/p99 of event value (cents) per event type,
+    rank = ceil(q*n) — value-compressed before any exchange."""
+    from ..ops.rank import grouped_quantile_disc
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"], "value_c": _cents(t["value"])})
+
+    cents = ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    return grouped_quantile_disc(
+        cents, key="event_type", value="value_c",
+        qs={"p50_c": 0.50, "p90_c": 0.90, "p99_c": 0.99},
+    )
+
+
+def q_doc_length_deciles(sf_dir: str) -> "rd.Dataset":
+    """Window-rank: ntile(10) over (partition by lang order by n_chars,
+    doc_id) via sort-free boundary selection (see ops/rank.py)."""
+    from ..ops.rank import partitioned_ntile
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    return partitioned_ntile(
+        docs, part="lang", order="n_chars", tiebreak="doc_id",
+        n_tiles=10, out_col="decile",
+    )
+
+
+def q_events_pivot(sf_dir: str) -> "rd.Dataset":
+    """Long->wide pivot: per day, one summed-cents column per event type."""
+    from ..ops.pivot import pivot_sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+                "event_type": t["event_type"],
+                "value_c": _cents(t["value"]),
+            }
+        )
+
+    wide = ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    return pivot_sum(
+        wide, index_col="day", pivot_col="event_type", value_col="value_c",
+        categories=["click", "error", "purchase", "signup", "view"],
+    )
