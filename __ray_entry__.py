@@ -20,11 +20,11 @@ def entry() -> Any:
     """Flagship three-stage flow (blocking -> scoring -> transitive
     clustering) applied to sf0.001 documents: MinHash-LSH near-dedup
     assignments. Returns (doc_id, canonical_doc_id) for every document."""
-    import ray.data as rd
+    from session_graph_ray.sources.parquet import read_parquet_clean as _rp
 
     from session_graph_ray.ops.dedup import near_dedup_assignments
 
-    docs = rd.read_parquet(
+    docs = _rp(
         "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
     )
     return near_dedup_assignments(docs, threshold=0.8)
@@ -62,38 +62,38 @@ def _q_er_match_edges(sf_dir: str):
 
 
 def _q_near_dedup_docs(sf_dir: str):
-    import ray.data as rd
+    from session_graph_ray.sources.parquet import read_parquet_clean as _rp
 
     from session_graph_ray.ops.dedup import near_dedup_assignments
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return near_dedup_assignments(docs, threshold=0.8)
 
 
 def _q_simhash_docs(sf_dir: str):
-    import ray.data as rd
+    from session_graph_ray.sources.parquet import read_parquet_clean as _rp
 
     from session_graph_ray.ops.dedup import simhash_fingerprints
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_fingerprints(docs)
 
 
 def _q_doc_quality(sf_dir: str):
-    import ray.data as rd
+    from session_graph_ray.sources.parquet import read_parquet_clean as _rp
 
     from session_graph_ray.ops.textstats import quality_scores
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return quality_scores(docs)
 
 
 def _q_doc_fingerprints(sf_dir: str):
-    import ray.data as rd
+    from session_graph_ray.sources.parquet import read_parquet_clean as _rp
 
     from session_graph_ray.ops.textstats import rolling_fingerprint
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return rolling_fingerprint(docs)
 
 
@@ -104,6 +104,7 @@ def _q_embedding_near_dup(sf_dir: str):
     those 16 pairs at cosine 1.0."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
     import ray.data as rd
 
     from session_graph_ray.ops.dedup import embedding_near_dup_pairs
@@ -123,12 +124,12 @@ def _q_embedding_near_dup(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
-    import ray.data as rd
+    from session_graph_ray.sources.parquet import read_parquet_clean as _rp
 
     from session_graph_ray.ops.similarity import ivf_topk
     from session_graph_ray.pipelines.analytics import _query_vectors
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     queries, qids = _query_vectors(sf_dir, 5)
     return ivf_topk(emb, queries, qids, k=10)

@@ -45,9 +45,13 @@ def broadcast_join(
     right_ref = ray.put(right_df)
     right_on = right_on or left_on
 
-    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+    def merge(batch: pd.DataFrame):
+        from .util import pd_to_arrow
+
         rdf = ray.get(right_ref)
-        return batch.merge(rdf, how=how, left_on=left_on, right_on=right_on)
+        return pd_to_arrow(
+            batch.merge(rdf, how=how, left_on=left_on, right_on=right_on)
+        )
 
     return left.map_batches(merge, batch_format="pandas", batch_size=batch_size)
 

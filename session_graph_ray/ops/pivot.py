@@ -38,14 +38,14 @@ def pivot_sum(
 
     out_cols = [f"{c}{suffix}" for c in categories]
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame):
         wide = pd.pivot_table(
             df, index=index_col, columns=pivot_col, values=value_col,
             aggfunc="sum", fill_value=0,
         ).reindex(columns=categories, fill_value=0)
         wide.columns = out_cols
         wide[count_col] = df.groupby(index_col, sort=False, observed=True).size()
-        return wide.reset_index()
+        return pd_to_arrow(wide.reset_index())
 
     return (
         ds.select_columns([index_col, pivot_col, value_col])

@@ -24,6 +24,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from ..ops.join import broadcast_join, hash_join
+from ..sources.parquet import read_parquet_clean as _rp
 
 
 def _cents(col) -> pa.Array:
@@ -33,7 +34,7 @@ def _cents(col) -> pa.Array:
 
 def q_pricing_summary(sf_dir: str) -> "rd.Dataset":
     """TPC-H Q1 shape: scan-heavy filter + grouped aggregate (2 keys)."""
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"],
@@ -68,7 +69,7 @@ def q_pricing_summary(sf_dir: str) -> "rd.Dataset":
 
 def q_revenue_filter(sf_dir: str) -> "rd.Dataset":
     """TPC-H Q6 shape: tight predicate + single global sum."""
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
     )
@@ -98,7 +99,7 @@ def q_revenue_filter(sf_dir: str) -> "rd.Dataset":
 def q_top_customers(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Pre-aggregate orders per customer (partial before shuffle), broadcast
     the small customer dim onto the aggregate, global top-k."""
-    orders = rd.read_parquet(
+    orders = _rp(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -134,7 +135,7 @@ def q_region_sales(sf_dir: str) -> "rd.Dataset":
         .merge(region, left_on="n_regionkey", right_on="r_regionkey")
     )[["c_custkey", "r_name"]]
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _rp(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -155,13 +156,13 @@ def q_region_sales(sf_dir: str) -> "rd.Dataset":
 
 def q_part_brand_volume(sf_dir: str) -> "rd.Dataset":
     """Large-large hash join (lineitem x part) + grouped aggregate."""
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _rp(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey", "l_quantity"])
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({"l_partkey": t["l_partkey"], "qty_c": _cents(t["l_quantity"])})
 
-    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    part = _rp(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
     joined = hash_join(
         li.map_batches(prep, batch_format="pyarrow", batch_size=65536),
         part, on="l_partkey", right_on="p_partkey",
@@ -173,7 +174,7 @@ def q_part_brand_volume(sf_dir: str) -> "rd.Dataset":
 
 def q_event_type_users(sf_dir: str) -> "rd.Dataset":
     """Exact count-distinct via two-level groupby (no driver-side sets)."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rp(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
     per_pair = ev.groupby(["event_type", "user_id"]).aggregate(
         Count(alias_name="n_events_pair")
@@ -185,7 +186,7 @@ def q_event_type_users(sf_dir: str) -> "rd.Dataset":
 
 def q_events_daily(sf_dir: str) -> "rd.Dataset":
     """Tumbling calendar-day aggregate (GROUP BY day, type)."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rp(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -204,13 +205,13 @@ def q_events_daily(sf_dir: str) -> "rd.Dataset":
 def q_sessionize_users(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
     from ..ops.sessionize import sessionize_counts
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return sessionize_counts(ev, gap_minutes=gap_minutes)
 
 
 def q_doc_token_stats(sf_dir: str) -> "rd.Dataset":
     """Per-language integer token/char totals over documents."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                            columns=["lang", "text"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -235,7 +236,7 @@ def q_doc_token_stats(sf_dir: str) -> "rd.Dataset":
 
 def q_doc_substring(sf_dir: str, needle: str = "the") -> "rd.Dataset":
     """Vectorized substring filter + grouped count (regex/LIKE parity)."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
 
     def prep(t: pa.Table) -> pa.Table:
         return t.filter(pc.match_substring(t["text"], needle))
@@ -250,7 +251,7 @@ def q_doc_substring(sf_dir: str, needle: str = "the") -> "rd.Dataset":
 def q_exact_dedup_docs(sf_dir: str) -> "rd.Dataset":
     from ..ops.dedup import exact_dedup_survivors
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_dedup_survivors(docs)
 
 
@@ -258,7 +259,7 @@ def q_knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> "rd.Datase
     """Brute-force cosine top-k for the first n_queries vectors."""
     from ..ops.similarity import brute_force_topk
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     queries, qids = _query_vectors(sf_dir, n_queries)
     out = brute_force_topk(emb, queries, qids, k=k)
@@ -283,7 +284,7 @@ def q_order_priorities(sf_dir: str) -> "rd.Dataset":
     """Simple grouped count with min/max aggregates over timestamps."""
     from ray.data.aggregate import Max, Min
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _rp(f"{sf_dir}/orders.parquet",
                              columns=["o_orderpriority", "o_orderdate"])
     return orders.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_orders"),
@@ -296,7 +297,7 @@ def q_supplier_nation(sf_dir: str) -> "rd.Dataset":
     """Broadcast dim join + grouped aggregate over the supplier table."""
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_name"])
-    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+    sup = _rp(f"{sf_dir}/supplier.parquet",
                           columns=["s_nationkey", "s_acctbal"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -326,7 +327,7 @@ def q_events_anti_join(sf_dir: str) -> pd.DataFrame:
     keys = np.sort(cust["c_custkey"].to_numpy())
     kref = ray.put(keys)
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["user_id"])
 
     def anti(t: pa.Table) -> pa.Table:
         import ray as _r
@@ -346,7 +347,7 @@ def q_events_anti_join(sf_dir: str) -> pd.DataFrame:
 def q_top_users_per_type(sf_dir: str, k: int = 3) -> "rd.Dataset":
     """Grouped top-k (the reference's hub-entity analytics, SURVEY.md A8/O7):
     per event type, the k most active users; ties broken by user_id."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rp(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
     counts = ev.groupby(["event_type", "user_id"]).aggregate(
         Count(alias_name="n_events")
@@ -364,7 +365,7 @@ def q_top_users_per_type(sf_dir: str, k: int = 3) -> "rd.Dataset":
 def q_union_sources(sf_dir: str) -> "rd.Dataset":
     """Dataset.union of per-source subsets then one aggregate (the reference's
     union of per-platform graphs, SURVEY.md D4 / README.md:138)."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
 
     def pick(langs):
         def f(t: pa.Table) -> pa.Table:
@@ -423,7 +424,7 @@ def q_event_props_stats(sf_dir: str) -> "rd.Dataset":
     blob contributes null, never a task failure (M10 discipline)."""
     import json
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rp(f"{sf_dir}/events.parquet",
                          columns=["event_type", "props"])
 
     def extract(t: pa.Table) -> pa.Table:
@@ -453,7 +454,7 @@ def q_doc_char_jaccard(sf_dir: str, n_docs: int = 100) -> "rd.Dataset":
     contract."""
     from ..ops.join import bucket_join, rename_batches
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def head_filter(t: pa.Table) -> pa.Table:
@@ -495,7 +496,7 @@ def q_cross_source_langs(sf_dir: str) -> "rd.Dataset":
     """Cross-source overlap (reference A8: HAVING COUNT(DISTINCT ...) > 1,
     ``/root/reference/pipeline/sample_queries.sparql:141-152``): languages
     appearing in more than one source, via two-level groupby + filter."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
     per_pair = docs.groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
     out = per_pair.groupby("lang").aggregate(Count(alias_name="n_sources"))
     return out.map_batches(
@@ -579,7 +580,7 @@ def q_jsonl_roundtrip_quarantine(sf_dir: str) -> "rd.Dataset":
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
-        docs = rd.read_parquet(src, columns=["doc_id", "source", "n_chars"])
+        docs = _rp(src, columns=["doc_id", "source", "n_chars"])
         write_jsonl(docs, tmp)
         with open(os.path.join(tmp, "bad-lines.jsonl"), "w") as f:
             f.write('{"doc_id": broken json\n')
@@ -602,7 +603,7 @@ def q_event_users_concat(sf_dir: str, k: int = 5) -> "rd.Dataset":
     smallest distinct user ids joined into one string."""
     from ..ops.collect import string_agg
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rp(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
     return string_agg(ev, key="event_type", value="user_id", sep=",",
                       cap=k, distinct=True).map_batches(
@@ -671,9 +672,9 @@ def q_events_asof_order(sf_dir: str) -> "rd.Dataset":
     order date at-or-before the event timestamp (null when none precedes)."""
     from ..ops.asof import asof_join_backward
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rp(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts"])
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _rp(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_orderdate"])
     ts_us = pa.timestamp("us")
     return asof_join_backward(
@@ -695,7 +696,7 @@ def q_event_value_quantiles(sf_dir: str) -> "rd.Dataset":
     rank = ceil(q*n) — value-compressed before any exchange."""
     from ..ops.rank import grouped_quantile_disc
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rp(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -713,7 +714,7 @@ def q_doc_length_deciles(sf_dir: str) -> "rd.Dataset":
     doc_id) via sort-free boundary selection (see ops/rank.py)."""
     from ..ops.rank import partitioned_ntile
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang", "n_chars"])
     return partitioned_ntile(
         docs, part="lang", order="n_chars", tiebreak="doc_id",
@@ -725,7 +726,7 @@ def q_events_pivot(sf_dir: str) -> "rd.Dataset":
     """Long->wide pivot: per day, one summed-cents column per event type."""
     from ..ops.pivot import pivot_sum
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rp(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
