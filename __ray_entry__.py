@@ -182,7 +182,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": A.q_event_value_quantiles,
         "doc_length_deciles": A.q_doc_length_deciles,
         "events_pivot": A.q_events_pivot,
+        "events_in_order_windows": A.q_events_in_order_windows,
         # rows-only pipelines (non-SQL-expressible)
+        "event_type_users_approx": A.q_event_type_users_approx,
+        "docs_stratified_sample": A.q_docs_stratified_sample,
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
         "near_dedup_docs": _q_near_dedup_docs,
@@ -441,6 +444,18 @@ def oracle_sql() -> dict[str, str]:
                         THEN {_CENTS.format(x='value')} END), 0) AS BIGINT) AS view_c,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1
+        """,
+        "events_in_order_windows": """
+            WITH w AS (
+              SELECT o_orderkey AS win_id,
+                     TIMESTAMP '2024-01-01'
+                       + (o_orderkey % 28) * INTERVAL 1 DAY AS s
+              FROM orders ORDER BY o_orderkey LIMIT 20
+            )
+            SELECT w.win_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM w JOIN events e
+              ON e.ts >= w.s AND e.ts < w.s + INTERVAL 3 DAY
+            GROUP BY w.win_id
         """,
         "knn_bruteforce": """
             WITH q AS (

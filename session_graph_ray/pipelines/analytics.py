@@ -743,3 +743,52 @@ def q_events_pivot(sf_dir: str) -> "rd.Dataset":
         wide, index_col="day", pivot_col="event_type", value_col="value_c",
         categories=["click", "error", "purchase", "signup", "view"],
     )
+
+
+def q_events_in_order_windows(sf_dir: str, n_windows: int = 20) -> "rd.Dataset":
+    """Range (containment) join: events falling inside 3-day windows opened
+    by the first ``n_windows`` orders — broadcast interval set, zero shuffle
+    of the fact table (ops/interval.py)."""
+    from ..ops.interval import range_join_broadcast
+
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).nsmallest(n_windows, "o_orderkey")
+    # anchor windows inside the events epoch (orders predate the event log);
+    # start offset is a deterministic function of the order key
+    start = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        orders["o_orderkey"].to_numpy() % 28, unit="D"
+    )
+    iv = pd.DataFrame(
+        {
+            "win_id": orders["o_orderkey"].to_numpy(),
+            "start": start,
+            "end": start + pd.Timedelta(days=3),
+        }
+    )
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    return (
+        range_join_broadcast(ev, "ts", iv)
+        .groupby("win_id")
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
+def q_event_type_users_approx(sf_dir: str) -> "rd.Dataset":
+    """HLL approximate count-distinct per event type (rows-only: estimates
+    have no SQL oracle; accuracy asserted against exact counts in tests)."""
+    from ..ops.approx import approx_count_distinct
+
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return approx_count_distinct(ev, key="event_type", value="user_id",
+                                 out_col="approx_users")
+
+
+def q_docs_stratified_sample(sf_dir: str, k: int = 20) -> "rd.Dataset":
+    """Deterministic k-per-language document sample (key-pure membership —
+    identical across runs, shardings and cluster sizes)."""
+    from ..ops.sample import stratified_sample
+
+    docs = _rp(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "lang", "source"])
+    return stratified_sample(docs, stratum="lang", key="doc_id", k=k)
