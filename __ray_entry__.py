@@ -61,6 +61,34 @@ def _q_er_match_edges(sf_dir: str):
     return _er_result(sf_dir).edges.select_columns(["id_a", "id_b", "score"])
 
 
+def _q_er_incremental(sf_dir: str):
+    """Incremental fold-in (reference's real-time loop): run the full
+    pipeline on an ~80% deterministic subset of the corpus, then fold the
+    remaining rows in via ``run_er_incremental``. Rows-only check; the
+    returned assignments are bit-for-bit equal to ``er_assignments``
+    (asserted in tests/test_er_incremental.py)."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from session_graph_ray.fixtures import ensure_corpus
+    from session_graph_ray.pipelines.er import run_er_pipeline
+    from session_graph_ray.pipelines.er_incremental import run_er_incremental
+
+    size = "tiny" if "0.001" in sf_dir else "small"
+    d = ensure_corpus(size)
+    full = pq.read_table(f"{d}/corpus")
+    keep = [zlib.crc32(p.encode()) % 5 != 0 for p in full.column("path").to_pylist()]
+    prev_dir = f"/tmp/sgr_incr_prev_{size}"
+    shutil.rmtree(prev_dir, ignore_errors=True)
+    os.makedirs(prev_dir)
+    pq.write_table(full.filter(keep), os.path.join(prev_dir, "part-0.parquet"))
+    prev = run_er_pipeline(prev_dir)
+    return run_er_incremental(f"{d}/corpus", prev.assignments).assignments
+
+
 def _q_near_dedup_docs(sf_dir: str):
     from session_graph_ray.sources.parquet import read_parquet_clean as _rp
 
@@ -188,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": A.q_docs_stratified_sample,
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
+        "er_incremental": _q_er_incremental,
         "near_dedup_docs": _q_near_dedup_docs,
         "simhash_docs": _q_simhash_docs,
         "doc_quality": _q_doc_quality,
