@@ -211,6 +211,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_deciles": A.q_doc_length_deciles,
         "events_pivot": A.q_events_pivot,
         "events_in_order_windows": A.q_events_in_order_windows,
+        "shipping_priority": A.q_shipping_priority,
+        "event_value_moments": A.q_event_value_moments,
+        "user_event_gaps": A.q_user_event_gaps,
+        "weekly_revenue": A.q_weekly_revenue,
+        "events_rollup": A.q_events_rollup,
+        "doc_ngram_jaccard": A.q_doc_ngram_jaccard,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "docs_stratified_sample": A.q_docs_stratified_sample,
@@ -485,6 +491,76 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN events e
               ON e.ts >= w.s AND e.ts < w.s + INTERVAL 3 DAY
             GROUP BY w.win_id
+        """,
+        "shipping_priority": f"""
+            SELECT o.o_orderkey, o.o_orderdate,
+                   CAST(SUM({_CENTS.format(x='l.l_extendedprice*(1.0-l.l_discount)')})
+                        AS BIGINT) AS revenue_c
+            FROM customer c
+            JOIN orders o   ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue_c DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "event_value_moments": f"""
+            WITH v AS (
+              SELECT event_type, {_CENTS.format(x='value')} AS c FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS sum_value_c,
+                   CAST(SUM(c*c) AS BIGINT) AS sumsq_value_c2
+            FROM v GROUP BY event_type
+        """,
+        "user_event_gaps": """
+            WITH lagged AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) AS gap
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+                   CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_us,
+                   CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us
+            FROM lagged GROUP BY user_id
+        """,
+        "weekly_revenue": f"""
+            SELECT date_trunc('week', o_orderdate) AS week,
+                   CAST(SUM({_CENTS.format(x='o_totalprice')}) AS BIGINT) AS revenue_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "events_rollup": f"""
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS sum_value_c
+            FROM events GROUP BY ROLLUP(event_type)
+        """,
+        "doc_ngram_jaccard": """
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+              FROM documents WHERE doc_id < 100
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+              FROM t
+            )
+            SELECT a.doc_id,
+                   CAST(FLOOR(
+                     CASE WHEN len(list_distinct(list_concat(a.gs, b.gs))) = 0
+                          THEN 1.0
+                          ELSE len(list_intersect(a.gs, b.gs)) * 1.0
+                               / len(list_distinct(list_concat(a.gs, b.gs)))
+                     END * 1000000 + 0.5) AS BIGINT) AS jacc_u
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         """,
         "knn_bruteforce": """
             WITH q AS (

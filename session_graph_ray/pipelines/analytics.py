@@ -774,6 +774,215 @@ def q_events_in_order_windows(sf_dir: str, n_windows: int = 20) -> "rd.Dataset":
     )
 
 
+def q_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 shape: two selective filters, dim semi-join, fact pre-aggregate,
+    broadcast enrich, global top-k. The lineitem revenue is pre-aggregated per
+    orderkey inside each batch BEFORE the shuffle groupby (partial combine),
+    and the filtered orders side rides along as a broadcast — the only
+    all-to-all is the per-orderkey groupby of already-collapsed partials."""
+    cutoff = pa.scalar(np.datetime64("1995-03-15", "us"))
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders[
+        (orders["o_orderdate"].values < np.datetime64("1995-03-15", "us"))
+        & orders["o_custkey"].isin(building)
+    ]
+    # filtered orders dim: ~10% of orders — broadcast, not shuffled. At 100 TB
+    # this side is still ~1e9x smaller than lineitem; if it ever outgrows the
+    # object store the same query runs through ops.join.hash_join.
+    okeys = np.sort(orders["o_orderkey"].to_numpy(np.int64))
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        key = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = okeys[np.searchsorted(okeys, key).clip(0, max(len(okeys) - 1, 0))] == key \
+            if len(okeys) else np.zeros(len(key), bool)
+        key = key[hit]
+        rev = _cents(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        ).to_numpy(zero_copy_only=False)[hit]
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "o_orderkey": pa.array(uk, pa.int64()),
+            "rev_c": pa.array(np.bincount(inv, weights=rev).astype(np.int64)),
+        })
+
+    per_order = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"))
+    )
+    top = (
+        per_order.sort(["revenue_c", "o_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out = top.merge(orders[["o_orderkey", "o_orderdate"]], on="o_orderkey")
+    return out[["o_orderkey", "o_orderdate", "revenue_c"]]
+
+
+def q_event_value_moments(sf_dir: str) -> "rd.Dataset":
+    """Grouped second-moment aggregate (variance/stddev building blocks) as
+    map-side partial combine: each batch collapses to one row per event_type
+    carrying (n, sum_c, sumsq_c2) in exact int64, then a tiny groupby sums the
+    partials — the all-to-all ships O(types x blocks) rows, not O(rows)."""
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_pylist()
+        df = pd.DataFrame({"event_type": et, "c": c, "c2": c * c})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("c", "size"), sum_value_c=("c", "sum"), sumsq_value_c2=("c2", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value_c", alias_name="sum_value_c"),
+            Sum("sumsq_value_c2", alias_name="sumsq_value_c2"),
+        )
+    )
+
+
+def q_user_event_gaps(sf_dir: str) -> "rd.Dataset":
+    """Per-user inter-event-gap stats (lag/lead window shape). Gaps are diffs
+    of the per-user sorted ts multiset — invariant to tie order — computed by
+    the same hash-bucket + one-vectorized-kernel-per-bucket machinery as
+    sessionize (never one pandas call per user)."""
+    from ..ops.sessionize import _bucketed
+
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        d = np.r_[0, np.diff(ts)]
+        d[~same] = 0
+        df = pd.DataFrame(
+            {"user_id": uid, "gap": d, "is_gap": same.astype(np.int64)}
+        )
+        out = df.groupby("user_id", as_index=False).agg(
+            n_events=("gap", "size"),
+            n_gaps=("is_gap", "sum"),
+            sum_gap_us=("gap", "sum"),
+            max_gap_us=("gap", "max"),
+        )
+        from ..ops.util import pd_to_arrow
+
+        return pd_to_arrow(out)
+
+    return _bucketed(ev, "user_id", "ts").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
+def q_weekly_revenue(sf_dir: str) -> "rd.Dataset":
+    """ISO-week (Monday-start) tumbling aggregate over orders —
+    ``floor_temporal(unit='week')`` == DuckDB ``date_trunc('week', ...)``."""
+    o = _rp(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(t["o_orderdate"], unit="week")
+        return pa.table({"week": wk, "rev_c": _cents(t["o_totalprice"])})
+
+    return (
+        o.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("week")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"), Count(alias_name="n_orders"))
+    )
+
+
+def q_events_rollup(sf_dir: str) -> "rd.Dataset":
+    """GROUP BY ROLLUP(event_type) analog: the grand-total row is the sum of
+    the per-group partials (a second tiny aggregate over the group results),
+    never a second scan of the fact table."""
+    per_type = (
+        _rp(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(
+            lambda t: pa.table(
+                {"event_type": t["event_type"], "value_c": _cents(t["value"])}
+            ),
+            batch_format="pyarrow",
+            batch_size=65536,
+        )
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c"))
+        .materialize()
+    )
+    tot = per_type.aggregate(Sum("n", alias_name="n"),
+                             Sum("sum_value_c", alias_name="sum_value_c"))
+    total_row = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["ALL"]),
+                "n": pa.array([int(tot["n"])], pa.int64()),
+                "sum_value_c": pa.array([int(tot["sum_value_c"])], pa.int64()),
+            }
+        )
+    )
+    return per_type.union(total_row)
+
+
+def q_doc_ngram_jaccard(sf_dir: str, n_docs: int = 100, n: int = 3) -> "rd.Dataset":
+    """Token n-gram Jaccard between consecutive documents — the set-similarity
+    kernel under MinHash verification, run exactly (reference's fuzzy-match
+    semantic, SURVEY.md §2.10). Tokens are maximal [a-z0-9]+ runs of the
+    lowercased text on BOTH sides (Python re here, RE2 in the oracle — the
+    class is identical in both engines)."""
+    import re
+
+    from ..ops.join import bucket_join, rename_batches
+
+    tok = re.compile(r"[a-z0-9]+")
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    head = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], pa.scalar(n_docs))),
+        batch_format="pyarrow",
+    )
+    a = rename_batches(head, {"text": "text_a"})
+    b = head.map_batches(
+        lambda t: pa.table(
+            {"k2": pc.subtract(t["doc_id"], pa.scalar(1)), "text_b": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        a, b, left_on="doc_id", right_on="k2",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text_a", pa.string())]),
+        right_schema=pa.schema([("k2", pa.int64()), ("text_b", pa.string())]),
+    )
+
+    def grams(s: str) -> set:
+        w = tok.findall((s or "").lower())
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    def jacc(t: pa.Table) -> pa.Table:
+        out = []
+        for x, y in zip(t.column("text_a").to_pylist(),
+                        t.column("text_b").to_pylist()):
+            sa, sb = grams(x), grams(y)
+            u = len(sa | sb)
+            j = (len(sa & sb) / u) if u else 1.0
+            out.append(int(np.floor(j * 1_000_000 + 0.5)))
+        return pa.table({"doc_id": t["doc_id"], "jacc_u": pa.array(out, pa.int64())})
+
+    return joined.map_batches(jacc, batch_format="pyarrow")
+
+
 def q_event_type_users_approx(sf_dir: str) -> "rd.Dataset":
     """HLL approximate count-distinct per event type (rows-only: estimates
     have no SQL oracle; accuracy asserted against exact counts in tests)."""
