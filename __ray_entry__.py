@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_revenue": A.q_weekly_revenue,
         "events_rollup": A.q_events_rollup,
         "doc_ngram_jaccard": A.q_doc_ngram_jaccard,
+        "top_user_heavy_hitters": A.q_top_user_heavy_hitters,
+        "doc_bpe_tokens": A.q_doc_bpe_tokens,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "docs_stratified_sample": A.q_docs_stratified_sample,
@@ -561,6 +563,21 @@ def oracle_sql() -> dict[str, str]:
                                / len(list_distinct(list_concat(a.gs, b.gs)))
                      END * 1000000 + 0.5) AS BIGINT) AS jacc_u
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        """,
+        "top_user_heavy_hitters": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(0 AS BIGINT) AS err_ub
+            FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id LIMIT 10
+        """,
+        "doc_bpe_tokens": r"""
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        ' ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+'))) AS BIGINT)
+                       AS sum_bpe_tokens
+            FROM documents GROUP BY lang
         """,
         "knn_bruteforce": """
             WITH q AS (

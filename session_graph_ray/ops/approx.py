@@ -67,3 +67,96 @@ def approx_count_distinct(
         .groupby(key)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def approx_heavy_hitters(
+    ds: "ray.data.Dataset",
+    key: str,
+    k: int = 10,
+    capacity: int = 4096,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Approximate top-k keys by frequency with bounded per-node state.
+
+    Each batch collapses to exact (key, count) rows hash-split into
+    ``n_buckets`` buckets; per (batch, bucket) only the ``capacity``
+    highest-count keys survive, and the dropped keys' total mass is carried
+    as one spill row per bucket — so a batch ships at most
+    ``n_buckets x (capacity + 1)`` rows regardless of its distinct-key count.
+    The per-bucket merge sums counts, re-truncates, and folds dropped mass
+    into the bucket spill; the result's ``err_ub`` column is the bucket's
+    total spilled mass, giving the sound bracket
+    ``n <= true_count <= n + err_ub`` for every reported key (counts are
+    never inflated, and a key's mass can only be lost to its own bucket's
+    spill). When ``capacity`` exceeds the per-bucket distinct-key count no
+    truncation fires, spill is 0 and the result is exact — the
+    oracle-checkable regime.
+
+    Reference semantic: the min-sessions frequency filter / top-k hub
+    reports (``/root/reference/pipeline/link_entities.py:200-214``, SPARQL
+    top-k hubs) as a mergeable summary: a 10^12-row stream never ships more
+    than O(batches x buckets x capacity) summary rows."""
+
+    def _hash(uk: np.ndarray) -> np.ndarray:
+        if np.issubdtype(uk.dtype, np.integer):
+            return uk.astype(np.uint64)
+        # stable across workers (builtin hash is per-process salted)
+        import zlib
+
+        return np.array([zlib.crc32(str(x).encode()) for x in uk], np.uint64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(kv, return_counts=True)
+        cnt = cnt.astype(np.int64)
+        bkt = (_hash(uk) % np.uint64(n_buckets)).astype(np.int32)
+        keys_o, n_o, spill_o, bkt_o = [], [], [], []
+        for b in np.unique(bkt):
+            m = bkt == b
+            ku, cu = uk[m], cnt[m]
+            spill = 0
+            if len(ku) > capacity:
+                order = np.argsort(-cu, kind="stable")
+                drop = order[capacity:]
+                spill = int(cu[drop].sum())
+                keep = order[:capacity]
+                ku, cu = ku[keep], cu[keep]
+            keys_o.append(ku)
+            n_o.append(cu)
+            spill_o.append(np.zeros(len(ku), np.int64))
+            bkt_o.append(np.full(len(ku), b, np.int32))
+            if spill:
+                keys_o.append(ku[:1])  # flagged row; key value is ignored
+                n_o.append(np.array([0], np.int64))
+                spill_o.append(np.array([spill], np.int64))
+                bkt_o.append(np.array([b], np.int32))
+        return pa.table({
+            key: pa.array(np.concatenate(keys_o)),
+            "n": pa.array(np.concatenate(n_o), pa.int64()),
+            "__spill": pa.array(np.concatenate(spill_o), pa.int64()),
+            "__bkt": pa.array(np.concatenate(bkt_o), pa.int32()),
+        })
+
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
+        spill_total = int(g["__spill"].sum())
+        real = g[g["__spill"] == 0]
+        agg = real.groupby(key, as_index=False).agg(n=("n", "sum"))
+        uk = agg[key].to_numpy()
+        cnt = agg["n"].to_numpy(np.int64)
+        if len(uk) > capacity:
+            order = np.argsort(-cnt, kind="stable")
+            spill_total += int(cnt[order[capacity:]].sum())
+            uk, cnt = uk[order[:capacity]], cnt[order[:capacity]]
+        return pa.table({
+            key: pa.array(uk),
+            "n": pa.array(cnt, pa.int64()),
+            "err_ub": pa.array(np.full(len(uk), spill_total, np.int64)),
+        })
+
+    merged = (
+        ds.select_columns([key])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
+    return merged.sort(["n", key], descending=[True, False]).limit(k)

@@ -780,21 +780,35 @@ def q_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
     orderkey inside each batch BEFORE the shuffle groupby (partial combine),
     and the filtered orders side rides along as a broadcast — the only
     all-to-all is the per-orderkey groupby of already-collapsed partials."""
+    from ..ops.join import bucket_join
+
     cutoff = pa.scalar(np.datetime64("1995-03-15", "us"))
 
+    # customer is the one true dim here: broadcast its qualifying key set.
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
-    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = orders[
-        (orders["o_orderdate"].values < np.datetime64("1995-03-15", "us"))
-        & orders["o_custkey"].isin(building)
-    ]
-    # filtered orders dim: ~10% of orders — broadcast, not shuffled. At 100 TB
-    # this side is still ~1e9x smaller than lineitem; if it ever outgrows the
-    # object store the same query runs through ops.join.hash_join.
-    okeys = np.sort(orders["o_orderkey"].to_numpy(np.int64))
+    building = np.sort(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
+        .to_numpy(np.int64)
+    )
+    # orders is fact-sized: filter it DISTRIBUTEDLY (never a driver read),
+    # keep only (o_orderkey, o_orderdate).
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.zeros(len(ck), bool)
+        if len(building):
+            idx = np.searchsorted(building, ck).clip(0, len(building) - 1)
+            hit = building[idx] == ck
+        t = t.filter(pa.array(hit & (
+            t.column("o_orderdate").to_numpy(zero_copy_only=False)
+            < np.datetime64("1995-03-15", "us"))))
+        return t.select(["o_orderkey", "o_orderdate"])
+
+    orders_f = orders.map_batches(ofilter, batch_format="pyarrow",
+                                  batch_size=65536)
 
     li = _rp(f"{sf_dir}/lineitem.parquet",
              columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -802,31 +816,36 @@ def q_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], cutoff))
         key = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        hit = okeys[np.searchsorted(okeys, key).clip(0, max(len(okeys) - 1, 0))] == key \
-            if len(okeys) else np.zeros(len(key), bool)
-        key = key[hit]
         rev = _cents(
             pc.multiply(t["l_extendedprice"],
                         pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        ).to_numpy(zero_copy_only=False)[hit]
+        ).to_numpy(zero_copy_only=False)
         uk, inv = np.unique(key, return_inverse=True)
         return pa.table({
-            "o_orderkey": pa.array(uk, pa.int64()),
+            "l_orderkey": pa.array(uk, pa.int64()),
             "rev_c": pa.array(np.bincount(inv, weights=rev).astype(np.int64)),
         })
 
     per_order = (
         li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("o_orderkey")
+        .groupby("l_orderkey")
         .aggregate(Sum("rev_c", alias_name="revenue_c"))
     )
+    # large-large equi-join on the shared orderkey partitioning — the only
+    # all-to-all besides the per-orderkey groupby of collapsed partials.
+    joined = bucket_join(
+        per_order, orders_f, left_on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("revenue_c", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]),
+    )
     top = (
-        per_order.sort(["revenue_c", "o_orderkey"], descending=[True, False])
+        joined.sort(["revenue_c", "o_orderkey"], descending=[True, False])
         .limit(k)
         .to_pandas()
     )
-    out = top.merge(orders[["o_orderkey", "o_orderdate"]], on="o_orderkey")
-    return out[["o_orderkey", "o_orderdate", "revenue_c"]]
+    return top[["o_orderkey", "o_orderdate", "revenue_c"]]
 
 
 def q_event_value_moments(sf_dir: str) -> "rd.Dataset":
@@ -981,6 +1000,38 @@ def q_doc_ngram_jaccard(sf_dir: str, n_docs: int = 100, n: int = 3) -> "rd.Datas
         return pa.table({"doc_id": t["doc_id"], "jacc_u": pa.array(out, pa.int64())})
 
     return joined.map_batches(jacc, batch_format="pyarrow")
+
+
+def q_top_user_heavy_hitters(sf_dir: str, k: int = 10) -> "rd.Dataset":
+    """Top-k users by event count through the Misra-Gries mergeable summary
+    (``ops.approx.approx_heavy_hitters``). Capacity 4096 exceeds the distinct
+    user count at test scales, so the sketch runs in its exact regime and the
+    SQL oracle applies; the same operator at 10^9 users degrades gracefully
+    to counted error bounds instead of an unbounded shuffle."""
+    from ..ops.approx import approx_heavy_hitters
+
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return approx_heavy_hitters(ev, "user_id", k=k, capacity=4096)
+
+
+_BPE_PAT = r" ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def q_doc_bpe_tokens(sf_dir: str) -> "rd.Dataset":
+    """BPE-style pre-tokenizer counts (GPT-2 pattern shape, ASCII classes so
+    Python/RE2 agree) — fully vectorized via Arrow's RE2
+    ``count_substring_regex``, the same engine DuckDB's oracle uses."""
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], pattern=_BPE_PAT)
+        return pa.table({"lang": t["lang"], "toks": pc.cast(n, pa.int64())})
+
+    return (
+        docs.map_batches(prep, batch_format="pyarrow", batch_size=4096)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("toks", alias_name="sum_bpe_tokens"))
+    )
 
 
 def q_event_type_users_approx(sf_dir: str) -> "rd.Dataset":

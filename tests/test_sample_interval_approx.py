@@ -128,3 +128,41 @@ def test_range_join_broadcast_matches_pandas():
     assert len(out) == len(exp)
     assert (out["eid"].values == exp["eid"].values).all()
     assert (out["win_id"].values == exp["win_id"].values).all()
+
+
+def test_heavy_hitters_exact_regime():
+    """capacity > distinct keys -> exact counts, err_ub all zero."""
+    from session_graph_ray.ops.approx import approx_heavy_hitters
+
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 50, size=20_000)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(8)
+    out = approx_heavy_hitters(ds, "k", k=5, capacity=1024).to_pandas()
+    exact = (
+        pd.Series(keys).value_counts().rename_axis("k").reset_index(name="n")
+        .sort_values(["n", "k"], ascending=[False, True]).head(5)
+        .reset_index(drop=True)
+    )
+    assert (out["err_ub"] == 0).all()
+    assert list(out["k"]) == list(exact["k"])
+    assert list(out["n"]) == list(exact["n"])
+
+
+def test_heavy_hitters_sketch_regime_bounds():
+    """capacity << distinct keys -> compression fires; the planted heavy key
+    is still recovered and every reported count is a valid lower bound with
+    true_count <= n + err_ub."""
+    from session_graph_ray.ops.approx import approx_heavy_hitters
+
+    rng = np.random.RandomState(11)
+    tail = rng.randint(1000, 9000, size=30_000)  # ~8k distinct tail keys
+    heavy = np.full(6_000, 7, dtype=np.int64)    # one massive hitter
+    keys = np.concatenate([tail, heavy])
+    rng.shuffle(keys)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(16)
+    out = approx_heavy_hitters(ds, "k", k=3, capacity=128, n_buckets=4).to_pandas()
+    true = pd.Series(keys).value_counts()
+    assert out.iloc[0]["k"] == 7
+    for _, r in out.iterrows():
+        t = int(true[r["k"]])
+        assert r["n"] <= t <= r["n"] + r["err_ub"]
