@@ -38,6 +38,19 @@ class ERConfig:
     # bucket_join path (the 10^12-row plan, where features exceed node RAM).
     feature_broadcast_limit: int = 5_000_000
 
+    # small-input collapse gates: below these provably-tiny volumes the
+    # fixed per-round / per-shuffle costs of the distributed form dominate
+    # by orders of magnitude, so the same kernel runs once, vectorized, in
+    # the driver. Both are hard byte-bounded (16 B/edge, 16 B/label row:
+    # <= ~3 MB pulled); the distributed fixpoint/join stays the plan for
+    # anything bigger and is what the bench corpus exercises.
+    driver_cluster_max_edges: int = 200_000
+    broadcast_assign_max_labels: int = 2_000_000
+    # at or below this many candidate pairs the Jaccard verifier ships the
+    # candidate texts once via the object store (ids are a tiny subset of
+    # the corpus) instead of running a two-sided partitioned text join
+    broadcast_verify_max_pairs: int = 50_000
+
     # --- execution --------------------------------------------------------
     batch_size: int = 2048
     pair_batch_size: int = 8192

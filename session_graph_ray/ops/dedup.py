@@ -142,15 +142,89 @@ def verify_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 3,
+    cfg: ERConfig | None = None,
+    n_pairs_ub: int | None = None,
 ) -> "ray.data.Dataset":
     """Exact word-n-gram Jaccard verification of candidate pairs.
 
-    Feature join ships texts only for candidate ids (a tiny subset), then a
-    vectorized-enough per-pair set intersection inside map_batches.
+    Two physical plans for the text fetch, picked by candidate volume
+    (``n_pairs_ub`` = any cheap upper bound, e.g. the materialized candidate
+    count):
+
+    - broadcast (<= ``cfg.broadcast_verify_max_pairs``): the candidate id set
+      is tiny, so filter the corpus down to candidate texts with one
+      shuffle-free scan, ship that slice once via the object store, and look
+      texts up per pair batch — the common near-dup regime where candidates
+      are a vanishing fraction of the corpus.
+    - partitioned join (default / large): two-sided bucket join shipping
+      texts only for candidate ids — the 100-TB plan.
     """
     from .join import bucket_join, rename_batches
 
     side = docs.select_columns([id_col, text_col])
+
+    def _pair_sims(ta: list, tb: list) -> list:
+        sims = []
+        for x, y in zip(ta, tb):
+            wa, wb = _word_tokens(x or ""), _word_tokens(y or "")
+            sa = set(
+                tuple(wa[i : i + ngram]) for i in range(max(len(wa) - ngram + 1, 0))
+            ) or {tuple(wa)}
+            sb = set(
+                tuple(wb[i : i + ngram]) for i in range(max(len(wb) - ngram + 1, 0))
+            ) or {tuple(wb)}
+            sims.append(jaccard(sa, sb))
+        return sims
+
+    if (
+        cfg is not None
+        and n_pairs_ub is not None
+        and n_pairs_ub <= cfg.broadcast_verify_max_pairs
+    ):
+        import ray
+
+        pairs = pairs.select_columns(["id_a", "id_b"]).materialize()
+        idp = []
+        for b in pairs.iter_batches(batch_format="numpy"):
+            idp.append(np.asarray(b["id_a"]).astype(np.int64))
+            idp.append(np.asarray(b["id_b"]).astype(np.int64))
+        cand_ids = np.unique(np.concatenate(idp)) if idp else np.array([], np.int64)
+        ids_ref = ray.put(cand_ids)
+
+        def fetch(t: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            did = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = np.zeros(len(did), bool)
+            if want.size:
+                pos = np.searchsorted(want, did).clip(0, want.size - 1)
+                hit = want[pos] == did
+            return t.filter(pa.array(hit))
+
+        slice_tbl = side.map_batches(fetch, batch_format="pyarrow").to_pandas()
+        order = np.argsort(slice_tbl[id_col].to_numpy(np.int64))
+        tid = slice_tbl[id_col].to_numpy(np.int64)[order]
+        ttxt = slice_tbl[text_col].to_numpy()[order]
+        txt_ref = ray.put((tid, ttxt))
+
+        def verify_bc(batch: pa.Table) -> pa.Table:
+            tid_s, ttxt_s = ray.get(txt_ref)
+            a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+            ta = ttxt_s[np.searchsorted(tid_s, a)] if tid_s.size else []
+            tb = ttxt_s[np.searchsorted(tid_s, b)] if tid_s.size else []
+            out = pa.table(
+                {
+                    "id_a": batch.column("id_a"),
+                    "id_b": batch.column("id_b"),
+                    "jaccard": pa.array(_pair_sims(list(ta), list(tb)),
+                                        pa.float64()),
+                }
+            )
+            return out.filter(
+                pa.compute.greater_equal(out["jaccard"], pa.scalar(threshold))
+            )
+
+        return pairs.map_batches(verify_bc, batch_format="pyarrow")
     pa_ = rename_batches(side, {id_col: "jid_a", text_col: "text_a"})
     pb_ = rename_batches(side, {id_col: "jid_b", text_col: "text_b"})
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
@@ -170,16 +244,7 @@ def verify_jaccard_pairs(
     def verify(batch: pa.Table) -> pa.Table:
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
-        sims = []
-        for x, y in zip(ta, tb):
-            wa, wb = _word_tokens(x or ""), _word_tokens(y or "")
-            sa = set(
-                tuple(wa[i : i + ngram]) for i in range(max(len(wa) - ngram + 1, 0))
-            ) or {tuple(wa)}
-            sb = set(
-                tuple(wb[i : i + ngram]) for i in range(max(len(wb) - ngram + 1, 0))
-            ) or {tuple(wb)}
-            sims.append(jaccard(sa, sb))
+        sims = _pair_sims(ta, tb)
         out = pa.table(
             {
                 "id_a": batch.column("id_a"),
@@ -214,6 +279,7 @@ def near_dedup_assignments(
 
     cfg = cfg or auto_config()
     cand = minhash_candidate_pairs(docs, id_col, text_col, cfg).materialize()
+    n_cand = cand.count()  # metadata count of the materialized candidates
     cand, _metrics = split_metric_rows(cand, cfg)
 
     def route_sel(route_val: int):
@@ -236,6 +302,7 @@ def near_dedup_assignments(
     verified = verify_jaccard_pairs(
         fuzzy.map_batches(to_i64, batch_format="pyarrow"),
         docs, threshold, id_col, text_col,
+        cfg=cfg, n_pairs_ub=n_cand,
     )
 
     def to_u64(batch: pa.Table) -> pa.Table:
@@ -256,7 +323,8 @@ def near_dedup_assignments(
         ),
         batch_format="pyarrow",
     )
-    out = assign_op(ids, labels, cfg)
+    # label rows <= 2 x edges <= 2 x candidates: a cheap broadcast-gate bound
+    out = assign_op(ids, labels, cfg, n_labels_ub=2 * n_cand)
     return out.map_batches(
         lambda t: pa.table(
             {

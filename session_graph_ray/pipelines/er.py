@@ -141,7 +141,8 @@ def run_er_pipeline(
     assign = stage(
         "assignments",
         lambda: assignments_hex(
-            assignments(features.select_columns(["file_id_u64"]), labels, cfg)
+            assignments(features.select_columns(["file_id_u64"]), labels, cfg,
+                        n_labels_ub=2 * n_edges)
         ),
     )
 

@@ -113,9 +113,11 @@ def run_er_incremental(
     new_edges = match_edges(scores, cfg).select_columns(["id_a", "id_b"])
     all_edges = new_edges.union(prev_star).materialize()
 
-    labels = propagate_labels(all_edges, cfg, n_edges=all_edges.count())
+    n_all_edges = all_edges.count()
+    labels = propagate_labels(all_edges, cfg, n_edges=n_all_edges)
     assign = assignments_hex(
-        assignments(features.select_columns(["file_id_u64"]), labels, cfg)
+        assignments(features.select_columns(["file_id_u64"]), labels, cfg,
+                    n_labels_ub=2 * n_all_edges)
     ).materialize()
 
     return ERResult(

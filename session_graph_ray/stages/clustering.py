@@ -152,6 +152,43 @@ def _join_msgs(
     return l2.union(r2).groupby("__bkt").map_groups(merge_bucket, batch_format="pyarrow")
 
 
+def _propagate_driver(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Small-edge-set fast path: one vectorized min-label fixpoint with
+    pointer jumping in the driver (O(E) numpy per round, O(log n) rounds).
+    Output is identical to the distributed fixpoint — label = min reachable
+    id — it only skips per-round shuffle overhead that dwarfs the work when
+    the edge table is a few MB. Gated by ``cfg.driver_cluster_max_edges``."""
+    parts_a, parts_b = [], []
+    for b in edges.select_columns(["id_a", "id_b"]).iter_batches(
+        batch_format="numpy"
+    ):
+        parts_a.append(np.asarray(b["id_a"]).astype(np.uint64))
+        parts_b.append(np.asarray(b["id_b"]).astype(np.uint64))
+    a = np.concatenate(parts_a) if parts_a else np.array([], np.uint64)
+    b = np.concatenate(parts_b) if parts_b else np.array([], np.uint64)
+    if not a.size:
+        return ray.data.from_arrow(_LABELS_SCHEMA.empty_table())
+    ids = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(ids, a)
+    ib = np.searchsorted(ids, b)
+    lab = np.arange(len(ids))  # index labels; ids sorted => min index == min id
+    while True:
+        m = np.minimum(lab[ia], lab[ib])
+        new = lab.copy()
+        np.minimum.at(new, ia, m)
+        np.minimum.at(new, ib, m)
+        new = new[new]  # pointer jumping: label of my label
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return ray.data.from_arrow(
+        pa.table(
+            {"node": pa.array(ids, pa.uint64()),
+             "label": pa.array(ids[lab], pa.uint64())}
+        )
+    )
+
+
 def propagate_labels(
     edges: "ray.data.Dataset", cfg: ERConfig,
     checkpoint_cb=None,
@@ -181,6 +218,8 @@ def propagate_labels(
     if n_edges is None:
         narrow = narrow.materialize()
         n_edges = narrow.count()
+    if n_edges <= cfg.driver_cluster_max_edges:
+        return _propagate_driver(narrow)
     n_bidir = 2 * n_edges
     P = part_of(n_bidir)
     # repartition BEFORE the bidirect map: edges inherit the (wide) upstream
@@ -253,11 +292,53 @@ def propagate_labels(
 
 
 def assignments(
-    corpus_ids: "ray.data.Dataset", labels: "ray.data.Dataset", cfg: ERConfig
+    corpus_ids: "ray.data.Dataset", labels: "ray.data.Dataset", cfg: ERConfig,
+    n_labels_ub: int | None = None,
 ) -> "ray.data.Dataset":
     """Every corpus row (``file_id_u64``) -> (file_id_u64, canonical_u64);
     unmatched rows map to themselves (singleton clusters, including
-    non-scorable rows). Left join as the same int-bucketed merge."""
+    non-scorable rows). Left join as the same int-bucketed merge.
+
+    Pass ``n_labels_ub`` (any cheap upper bound on the label-table rows, e.g.
+    2x the edge count) to enable the broadcast form below
+    ``cfg.broadcast_assign_max_labels``: the label table ships once via the
+    object store and every corpus block does a local searchsorted — no
+    shuffle of the (big) corpus-id side at all."""
+    if (
+        n_labels_ub is not None
+        and n_labels_ub <= cfg.broadcast_assign_max_labels
+    ):
+        lt = labels.to_pandas()
+        if "node" in lt.columns:
+            lk = lt["node"].to_numpy(np.uint64)
+            ll = lt["label"].to_numpy(np.uint64)
+        else:  # empty / placeholder-schema label table (no-match corpus)
+            lk = np.array([], np.uint64)
+            ll = np.array([], np.uint64)
+        order = np.argsort(lk)
+        ref = ray.put((lk[order], ll[order]))
+
+        def map_assign(t: pa.Table) -> pa.Table:
+            lk_s, ll_s = ray.get(ref)
+            ids = t.column("file_id_u64").to_numpy(
+                zero_copy_only=False
+            ).astype(np.uint64)
+            canon = ids.copy()
+            if lk_s.size:
+                pos = np.searchsorted(lk_s, ids)
+                pos_c = np.minimum(pos, lk_s.size - 1)
+                hit = (pos < lk_s.size) & (lk_s[pos_c] == ids)
+                canon[hit] = ll_s[pos_c[hit]]
+            return pa.table(
+                {
+                    "file_id_u64": pa.array(ids, pa.uint64()),
+                    "canonical_u64": pa.array(canon, pa.uint64()),
+                }
+            )
+
+        return corpus_ids.select_columns(["file_id_u64"]).map_batches(
+            map_assign, batch_format="pyarrow"
+        )
     B = cfg.join_partitions * 4
 
     def pad_ids(t: pa.Table) -> pa.Table:

@@ -80,9 +80,43 @@ def test_long_chain_convergence_warning():
     """A chain longer than max_cluster_rounds must warn, not silently split."""
     import warnings
 
-    cfg = ERConfig(max_cluster_rounds=2).scaled(4)
+    cfg = ERConfig(max_cluster_rounds=2, driver_cluster_max_edges=0).scaled(4)
     chain = [(i, i + 1) for i in range(1, 40)]
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         propagate_labels(_edges(chain), cfg)
     assert any("max_cluster_rounds" in str(x.message) for x in w)
+
+
+def test_driver_fastpath_equals_distributed():
+    """propagate_labels' small-input driver kernel must produce exactly the
+    distributed fixpoint's labels (same min-reachable-id semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    from dataclasses import replace
+
+    import ray.data as rd
+
+    from session_graph_ray.config import auto_config
+    from session_graph_ray.stages.clustering import propagate_labels
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 5000, 4000).astype(np.uint64)
+    b = rng.randint(0, 5000, 4000).astype(np.uint64)
+    # add a chain (depth stresses the min-label fixpoint; kept short enough
+    # for the distributed form to converge without a deep stats lineage)
+    chain = np.arange(6000, 6012, dtype=np.uint64)
+    a = np.concatenate([a, chain[:-1]])
+    b = np.concatenate([b, chain[1:]])
+    edges = rd.from_arrow(
+        pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    ).repartition(4)
+    cfg = auto_config()
+    assert len(a) <= cfg.driver_cluster_max_edges  # gate actually fires
+    drv = propagate_labels(edges, cfg).to_pandas()
+    dist = propagate_labels(
+        edges, replace(cfg, driver_cluster_max_edges=0, max_cluster_rounds=32)
+    ).to_pandas()
+    drv = drv.sort_values("node").reset_index(drop=True)
+    dist = dist.sort_values("node").reset_index(drop=True)
+    assert drv.equals(dist)
