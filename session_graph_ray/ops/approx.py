@@ -69,6 +69,92 @@ def approx_count_distinct(
     )
 
 
+def _quantile_summary(values: np.ndarray, weights: np.ndarray, m: int):
+    """Compress a weighted sorted sample to <= m (value, weight) entries by
+    cumulative-weight bucketing. Values must be sorted ascending. Each kept
+    entry carries the total weight of its bucket, so total mass is preserved
+    and any quantile read off the summary is within ~total_weight/m of the
+    true rank (one bucket)."""
+    if len(values) <= m:
+        return values, weights
+    cum = np.cumsum(weights)
+    total = cum[-1]
+    # bucket boundaries at equal mass; right-closed so every bucket non-empty
+    edges = np.searchsorted(cum, total * (np.arange(1, m + 1) / m), side="left")
+    edges = np.unique(np.minimum(edges, len(values) - 1))
+    out_v = values[edges]
+    w = np.diff(np.r_[0, cum[edges]])
+    return out_v, w
+
+
+def _quantile_from_summary(values: np.ndarray, weights: np.ndarray,
+                           qs: "list[float]") -> np.ndarray:
+    cum = np.cumsum(weights)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        r = q * total
+        i = int(np.searchsorted(cum, r, side="left"))
+        out.append(values[min(i, len(values) - 1)])
+    return np.array(out)
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    value: str,
+    qs: "list[float]",
+    key: str | None = None,
+    m: int = 1024,
+) -> "ray.data.Dataset":
+    """Approximate quantiles via mergeable weighted summaries (the
+    equi-mass-compaction family behind Spark's ``approxQuantile``): each
+    batch ships at most ``m`` (value, weight) rows per group — never its raw
+    values — and per-group merges concat + re-sort + re-compress, so rank
+    error is ~W/m per merge level regardless of input volume. Exact when
+    every batch holds <= m values per group. Output: one row per group with
+    ``q_<pct>`` columns (global: single row, key column omitted)."""
+    gkey = key or "__all"
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        k = (t.column(key).to_numpy(zero_copy_only=False)
+             if key else np.zeros(len(v), np.int8))
+        ko, vo, wo = [], [], []
+        codes, uniq = pd.factorize(k, sort=False)
+        for c in range(len(uniq)):
+            vv = np.sort(v[codes == c])
+            sv, sw = _quantile_summary(vv, np.ones(len(vv)), m)
+            ko.append(np.repeat(np.array([uniq[c]]), len(sv)))
+            vo.append(sv)
+            wo.append(sw)
+        return pa.table({
+            gkey: pa.array(np.concatenate(ko)),
+            "__v": pa.array(np.concatenate(vo), pa.float64()),
+            "__w": pa.array(np.concatenate(wo), pa.float64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        v = g["__v"].to_numpy(np.float64)
+        w = g["__w"].to_numpy(np.float64)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        v, w = _quantile_summary(v, w, m)
+        res = _quantile_from_summary(v, w, qs)
+        cols = {}
+        if key:
+            cols[key] = [g[gkey].iloc[0]]
+        for q, x in zip(qs, res):
+            cols[f"q_{int(round(q * 100))}"] = [float(x)]
+        return pd_to_arrow(pd.DataFrame(cols))
+
+    return (
+        ds.select_columns([c for c in (key, value) if c])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(gkey)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def approx_heavy_hitters(
     ds: "ray.data.Dataset",
     key: str,

@@ -166,3 +166,36 @@ def test_heavy_hitters_sketch_regime_bounds():
     for _, r in out.iterrows():
         t = int(true[r["k"]])
         assert r["n"] <= t <= r["n"] + r["err_ub"]
+
+
+def test_approx_quantiles_grouped_accuracy():
+    """Grouped approx quantiles: exact when uncompressed, rank error < 1/m
+    of the group mass when compression fires."""
+    from session_graph_ray.ops.approx import approx_quantiles
+
+    rng = np.random.RandomState(3)
+    n = 40_000
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 3, n),
+            "v": rng.lognormal(0.0, 2.0, n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    out = approx_quantiles(ds, "v", [0.5, 0.9], key="g", m=512).to_pandas()
+    assert len(out) == 3
+    for _, r in out.iterrows():
+        vals = np.sort(df.loc[df["g"] == r["g"], "v"].to_numpy())
+        for q, col in ((0.5, "q_50"), (0.9, "q_90")):
+            rank = np.searchsorted(vals, r[col], side="right")
+            assert abs(rank - q * len(vals)) <= max(2, 2 * len(vals) / 512)
+
+
+def test_approx_quantiles_global_exact_small():
+    from session_graph_ray.ops.approx import approx_quantiles
+
+    v = np.arange(1.0, 101.0)
+    ds = rd.from_pandas(pd.DataFrame({"v": v}))
+    out = approx_quantiles(ds, "v", [0.5, 0.99], m=1024).to_pandas()
+    assert float(out["q_50"].iloc[0]) == 50.0
+    assert float(out["q_99"].iloc[0]) == 99.0
