@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": A.q_doc_bpe_tokens,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
+        "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
         "docs_stratified_sample": A.q_docs_stratified_sample,
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,

@@ -1044,6 +1044,18 @@ def q_event_type_users_approx(sf_dir: str) -> "rd.Dataset":
                                  out_col="approx_users")
 
 
+def q_event_value_quantiles_approx(sf_dir: str) -> "rd.Dataset":
+    """Mergeable-summary approximate p50/p90 of event value per event type
+    (rows-only: estimates have no SQL oracle; rank-error bound asserted in
+    tests). The scale-path twin of ``q_event_value_quantiles``: each batch
+    ships <= m (value, weight) rows per group instead of its raw values."""
+    from ..ops.approx import approx_quantiles
+
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return approx_quantiles(ev, value="value", qs=[0.5, 0.9],
+                            key="event_type", m=1024)
+
+
 def q_docs_stratified_sample(sf_dir: str, k: int = 20) -> "rd.Dataset":
     """Deterministic k-per-language document sample (key-pure membership —
     identical across runs, shardings and cluster sizes)."""
