@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
+        "customers_with_big_order": A.q_customers_with_big_order,
+        "customers_no_big_order": A.q_customers_no_big_order,
         "docs_stratified_sample": A.q_docs_stratified_sample,
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
@@ -378,6 +380,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source
+        """,
+        "customers_with_big_order": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 400000)
+        """,
+        "customers_no_big_order": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 400000)
         """,
         "event_users_concat": """
             WITH du AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -1044,6 +1044,48 @@ def q_event_type_users_approx(sf_dir: str) -> "rd.Dataset":
                                  out_col="approx_users")
 
 
+def _big_order_custkeys(sf_dir: str) -> "rd.Dataset":
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_totalprice"])
+    return orders.map_batches(
+        lambda t: t.filter(
+            pc.greater(t.column("o_totalprice"), 400000.0)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+
+_CUST_KEY_NAME = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
+
+
+def q_customers_with_big_order(sf_dir: str) -> "rd.Dataset":
+    """Bloom-prefiltered exact semi-join: customers holding at least one
+    order over 400k. The constant-size Bloom bitmap of the build keys is
+    broadcast once and filters the probe side BEFORE the exact join's
+    shuffle — the scale path for J2/J4 when the build key set no longer
+    fits a worker heap (see ops/bloom.py)."""
+    from ..ops.bloom import bloom_semi_join
+
+    cust = _rp(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    return bloom_semi_join(
+        cust, _big_order_custkeys(sf_dir), "c_custkey", "o_custkey",
+        left_schema=_CUST_KEY_NAME,
+    )
+
+
+def q_customers_no_big_order(sf_dir: str) -> "rd.Dataset":
+    """Bloom-split exact anti-join: customers with NO order over 400k.
+    Bloom "no" rows are definite non-matches emitted with zero shuffle;
+    only the "maybe" rows pay the exact left-join residue."""
+    from ..ops.bloom import bloom_semi_join
+
+    cust = _rp(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    return bloom_semi_join(
+        cust, _big_order_custkeys(sf_dir), "c_custkey", "o_custkey",
+        left_schema=_CUST_KEY_NAME, anti=True,
+    )
+
+
 def q_event_value_quantiles_approx(sf_dir: str) -> "rd.Dataset":
     """Mergeable-summary approximate p50/p90 of event value per event type
     (rows-only: estimates have no SQL oracle; rank-error bound asserted in
