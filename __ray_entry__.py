@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
         "customers_with_big_order": A.q_customers_with_big_order,
         "customers_no_big_order": A.q_customers_no_big_order,
+        "profile_events": A.q_profile_events,
+        "profile_docs": A.q_profile_docs,
         "docs_stratified_sample": A.q_docs_stratified_sample,
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
@@ -390,6 +392,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_totalprice > 400000)
+        """,
+        "profile_events": """
+            SELECT 'user_id' AS col, COUNT(*) AS n,
+                   COUNT(*) - COUNT(user_id) AS n_null,
+                   CAST(MIN(user_id) AS DOUBLE) AS min_num,
+                   CAST(MAX(user_id) AS DOUBLE) AS max_num
+            FROM events
+            UNION ALL
+            SELECT 'value' AS col, COUNT(*) AS n,
+                   COUNT(*) - COUNT(value) AS n_null,
+                   CAST(MIN(value) AS DOUBLE) AS min_num,
+                   CAST(MAX(value) AS DOUBLE) AS max_num
+            FROM events
         """,
         "event_users_concat": """
             WITH du AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -1086,6 +1086,28 @@ def q_customers_no_big_order(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def q_profile_events(sf_dir: str) -> "rd.Dataset":
+    """One-pass streaming profile of the events table's numeric columns
+    (count / nulls / min / max — constant-size partials per batch, see
+    ops/profile.py). The approx-distinct column is exercised rows-only in
+    ``profile_docs`` and accuracy-tested in pytest."""
+    from ..ops.profile import profile_table
+
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    prof = profile_table(ev, ["user_id", "value"])
+    return prof.select_columns(["col", "n", "n_null", "min_num", "max_num"])
+
+
+def q_profile_docs(sf_dir: str) -> "rd.Dataset":
+    """Full profile of the documents table incl. string min/max and HLL
+    approx-distinct (rows-only: the estimate has no SQL oracle)."""
+    from ..ops.profile import profile_table
+
+    docs = _rp(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "lang", "n_chars"])
+    return profile_table(docs, ["doc_id", "lang", "n_chars"])
+
+
 def q_event_value_quantiles_approx(sf_dir: str) -> "rd.Dataset":
     """Mergeable-summary approximate p50/p90 of event value per event type
     (rows-only: estimates have no SQL oracle; rank-error bound asserted in
