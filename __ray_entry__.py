@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_big_order": A.q_customers_no_big_order,
         "profile_events": A.q_profile_events,
         "profile_docs": A.q_profile_docs,
+        "nation_event_revenue": A.q_nation_event_revenue,
         "docs_stratified_sample": A.q_docs_stratified_sample,
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
@@ -392,6 +393,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_totalprice > 400000)
+        """,
+        "nation_event_revenue": f"""
+            SELECT n_name, COUNT(*) AS n_events,
+                   CAST(SUM({_CENTS.format(x='e.value')}) AS BIGINT)
+                     AS revenue_c
+            FROM events e
+            JOIN customer c ON e.user_id = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n_name
         """,
         "profile_events": """
             SELECT 'user_id' AS col, COUNT(*) AS n,

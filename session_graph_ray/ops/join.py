@@ -159,15 +159,15 @@ def bucket_join(
             # acero hash join per bucket: zero pandas string conversion.
             # (The Ray-level JoinOperator bug is in plan-time key resolution,
             # not in acero itself — here both tables are literal in-memory.)
-            out = lg.join(rg, keys=[left_on], right_keys=[right_on],
+            # acero omits the right key column from the output; carry a copy
+            # as a payload column so unmatched left-outer rows keep a
+            # null-faithful right key (matching pandas-merge semantics)
+            rg2 = rg.append_column("__rkey_copy", rg.column(right_on))
+            out = lg.join(rg2, keys=[left_on], right_keys=[right_on],
                           join_type=pa_how, use_threads=False)
-            # acero omits the right key column; restore it for schema parity
-            # with the pandas-merge contract (downstream never reads its
-            # values, only the column's presence/type)
             if right_on not in out.column_names:
-                out = out.append_column(
-                    right_on, pc.cast(out.column(left_on), rtypes[right_on])
-                )
+                out = out.append_column(right_on, out.column("__rkey_copy"))
+            out = out.drop_columns(["__rkey_copy"])
             return out.select(target_schema.names).cast(target_schema)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
             lpd = lg.to_pandas()

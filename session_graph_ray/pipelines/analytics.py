@@ -1086,6 +1086,59 @@ def q_customers_no_big_order(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def q_nation_event_revenue(sf_dir: str) -> "rd.Dataset":
+    """Fact/dim join hardened against hot fact keys: events join customer
+    through the skew-aware path (ops/skewjoin.py — heavy probe keys found
+    by a Misra-Gries pass go through a broadcast merge, the rest through
+    the bucketed hash join), then per-nation revenue. heavy_min_rows is
+    tuned to the synthetic corpus so both routes execute; at production
+    scale the default (100k rows) only fires on true hot keys."""
+    from ..ops.skewjoin import skew_join
+
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "value_c": _cents(t["value"])})
+
+    cust = _rp(f"{sf_dir}/customer.parquet",
+               columns=["c_custkey", "c_nationkey"])
+    joined = skew_join(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        cust, "user_id", "c_custkey",
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("value_c", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ),
+        heavy_min_rows=80,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..ops.util import pd_to_arrow
+
+        df = t.select(["c_nationkey", "value_c"]).to_pandas()
+        agg = df.groupby("c_nationkey", as_index=False).agg(
+            revenue_c=("value_c", "sum"), n_events=("value_c", "size")
+        )
+        return pd_to_arrow(agg)
+
+    totals = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                   Sum("n_events", alias_name="n_events"))
+    )
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    out = broadcast_join(totals, nation,
+                         left_on="c_nationkey", right_on="n_nationkey")
+    return out.map_batches(
+        lambda t: t.select(["n_name", "n_events", "revenue_c"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_profile_events(sf_dir: str) -> "rd.Dataset":
     """One-pass streaming profile of the events table's numeric columns
     (count / nulls / min / max — constant-size partials per batch, see
