@@ -98,6 +98,30 @@ def _q_near_dedup_docs(sf_dir: str):
     return near_dedup_assignments(docs, threshold=0.8)
 
 
+def _q_near_dedup_incremental(sf_dir: str):
+    """Incremental fold-in for document near-dedup: full run over the ~80%
+    of docs with doc_id % 5 != 0, then fold the rest in. Rows-only check;
+    equality with the from-scratch run is asserted in
+    tests/test_near_dedup_incremental.py."""
+    import pyarrow.compute as pc
+
+    from session_graph_ray.ops.dedup import (
+        near_dedup_assignments,
+        near_dedup_incremental,
+    )
+    from session_graph_ray.sources.parquet import read_parquet_clean as _rp
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    subset = docs.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(pc.bit_wise_and(t.column("doc_id"), 7), 0)
+        ),
+        batch_format="pyarrow",
+    )
+    prev = near_dedup_assignments(subset, threshold=0.8)
+    return near_dedup_incremental(docs, prev, threshold=0.8)
+
+
 def _q_simhash_docs(sf_dir: str):
     from session_graph_ray.sources.parquet import read_parquet_clean as _rp
 
@@ -232,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_match_edges": _q_er_match_edges,
         "er_incremental": _q_er_incremental,
         "near_dedup_docs": _q_near_dedup_docs,
+        "near_dedup_incremental": _q_near_dedup_incremental,
         "simhash_docs": _q_simhash_docs,
         "doc_quality": _q_doc_quality,
         "doc_fingerprints": _q_doc_fingerprints,

@@ -257,30 +257,21 @@ def verify_jaccard_pairs(
     return enriched.map_batches(verify, batch_format="pyarrow")
 
 
-def near_dedup_assignments(
+def _candidate_edges(
+    cand: "ray.data.Dataset",
     docs: "ray.data.Dataset",
-    threshold: float = 0.8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    cfg: ERConfig | None = None,
+    threshold: float,
+    id_col: str,
+    text_col: str,
+    cfg: "ERConfig",
+    n_cand_ub: int,
 ) -> "ray.data.Dataset":
-    """Full MinHash-LSH near-dedup: (doc_id, canonical_doc_id) for every doc.
-
-    shingle -> minhash -> skew-proof bucketed pairing -> verify n-gram
-    Jaccard (exact-content route-0 pairs skip verification — Jaccard is 1 by
-    construction) -> transitive closure (same label-propagation operator as
-    the flagship ER stage 3).
-    """
+    """Routed candidate pairs -> verified match edges (uint64 id_a, id_b).
+    Exact-content (route-0) pairs skip verification — their Jaccard is 1 by
+    construction; fuzzy pairs go through the exact n-gram Jaccard check."""
     import pyarrow.compute as pc
 
-    from ..config import auto_config
-    from ..stages.clustering import assignments as assign_op
-    from .pairing import ROUTE_EXACT, ROUTE_FUZZY, split_metric_rows
-
-    cfg = cfg or auto_config()
-    cand = minhash_candidate_pairs(docs, id_col, text_col, cfg).materialize()
-    n_cand = cand.count()  # metadata count of the materialized candidates
-    cand, _metrics = split_metric_rows(cand, cfg)
+    from .pairing import ROUTE_EXACT, ROUTE_FUZZY
 
     def route_sel(route_val: int):
         def f(t: pa.Table) -> pa.Table:
@@ -302,7 +293,7 @@ def near_dedup_assignments(
     verified = verify_jaccard_pairs(
         fuzzy.map_batches(to_i64, batch_format="pyarrow"),
         docs, threshold, id_col, text_col,
-        cfg=cfg, n_pairs_ub=n_cand,
+        cfg=cfg, n_pairs_ub=n_cand_ub,
     )
 
     def to_u64(batch: pa.Table) -> pa.Table:
@@ -313,9 +304,49 @@ def near_dedup_assignments(
             }
         )
 
-    edges = exact_edges.select_columns(["id_a", "id_b"]).union(
+    return exact_edges.select_columns(["id_a", "id_b"]).union(
         verified.map_batches(to_u64, batch_format="pyarrow")
     )
+
+
+def near_dedup_assignments(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: ERConfig | None = None,
+) -> "ray.data.Dataset":
+    """Full MinHash-LSH near-dedup: (doc_id, canonical_doc_id) for every doc.
+
+    shingle -> minhash -> skew-proof bucketed pairing -> verify n-gram
+    Jaccard (exact-content route-0 pairs skip verification — Jaccard is 1 by
+    construction) -> transitive closure (same label-propagation operator as
+    the flagship ER stage 3).
+    """
+    from ..config import auto_config
+    from .pairing import split_metric_rows
+
+    cfg = cfg or auto_config()
+    cand = minhash_candidate_pairs(docs, id_col, text_col, cfg).materialize()
+    n_cand = cand.count()  # metadata count of the materialized candidates
+    cand, _metrics = split_metric_rows(cand, cfg)
+    edges = _candidate_edges(cand, docs, threshold, id_col, text_col, cfg, n_cand)
+    return _edges_to_assignments(docs, edges, id_col, cfg, n_labels_ub=2 * n_cand)
+
+
+def _edges_to_assignments(
+    docs: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    id_col: str,
+    cfg: "ERConfig",
+    n_labels_ub: int,
+) -> "ray.data.Dataset":
+    """Match edges -> (doc_id, canonical_doc_id) via the same transitive
+    closure operator as the flagship ER stage 3."""
+    import pyarrow.compute as pc
+
+    from ..stages.clustering import assignments as assign_op
+
     labels = propagate_labels(edges, cfg)
     ids = docs.select_columns([id_col]).map_batches(
         lambda t: pa.table(
@@ -324,7 +355,7 @@ def near_dedup_assignments(
         batch_format="pyarrow",
     )
     # label rows <= 2 x edges <= 2 x candidates: a cheap broadcast-gate bound
-    out = assign_op(ids, labels, cfg, n_labels_ub=2 * n_cand)
+    out = assign_op(ids, labels, cfg, n_labels_ub=n_labels_ub)
     return out.map_batches(
         lambda t: pa.table(
             {
@@ -333,6 +364,82 @@ def near_dedup_assignments(
             }
         ),
         batch_format="pyarrow",
+    )
+
+
+def near_dedup_incremental(
+    docs: "ray.data.Dataset",
+    prev_assignments: "ray.data.Dataset",
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: ERConfig | None = None,
+) -> "ray.data.Dataset":
+    """Fold newly arrived documents into an existing near-dup assignment
+    without re-verifying the old corpus against itself.
+
+    ``prev_assignments`` is the (doc_id, canonical_doc_id) output of an
+    earlier ``near_dedup_assignments`` run over a SUBSET of ``docs``; the
+    result equals a from-scratch run over the full corpus. LSH band keys
+    are still derived for every doc (old docs must be pair-able with new
+    ones), but candidate pairs whose BOTH ends are old are dropped before
+    the expensive text-fetch-and-Jaccard verification — the previous star
+    edges stand in for them, so per increment the verification cost is
+    O(new x corpus overlap), not O(corpus^2). The old-id set broadcast and
+    its big-corpus semi-join alternative follow
+    ``pipelines/er_incremental.py``'s documented trade-off."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..config import auto_config
+    from .pairing import split_metric_rows
+
+    cfg = cfg or auto_config()
+
+    def star_u64(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pc.cast(t.column(id_col), pa.uint64()),
+                "id_b": pc.cast(t.column("canonical_doc_id"), pa.uint64()),
+            }
+        )
+
+    prev_star = prev_assignments.map_batches(
+        star_u64, batch_format="pyarrow"
+    ).materialize()
+    prev_ids = np.sort(
+        np.concatenate(
+            [
+                b["id_a"]
+                for b in prev_star.select_columns(["id_a"]).iter_batches(
+                    batch_format="numpy"
+                )
+            ]
+        ).astype(np.uint64)
+        if prev_star.count()
+        else np.array([], dtype=np.uint64)
+    )
+    prev_ref = ray.put(prev_ids)
+
+    cand = minhash_candidate_pairs(docs, id_col, text_col, cfg).materialize()
+    n_cand = cand.count()
+    cand, _metrics = split_metric_rows(cand, cfg)
+
+    def touching_new(t: pa.Table) -> pa.Table:
+        old = ray.get(prev_ref)
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        both_old = np.isin(a, old) & np.isin(b, old)
+        return t.filter(pa.array(~both_old))
+
+    new_cand = cand.map_batches(touching_new, batch_format="pyarrow")
+    new_edges = _candidate_edges(
+        new_cand, docs, threshold, id_col, text_col, cfg, n_cand
+    )
+    edges = new_edges.union(prev_star)
+    return _edges_to_assignments(
+        docs, edges, id_col, cfg, n_labels_ub=2 * (n_cand + int(len(prev_ids)))
     )
 
 
