@@ -130,6 +130,11 @@ def run_bench(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
         return near_dedup_assignments(docs, threshold=0.8, cfg=cfg).materialize()
 
     timed("near_dedup_docs", near_dedup)
+    timed("nation_event_revenue",
+          lambda: A.q_nation_event_revenue(sf_dir).materialize())
+    timed("customers_no_big_order",
+          lambda: A.q_customers_no_big_order(sf_dir).materialize())
+    timed("profile_events", lambda: A.q_profile_events(sf_dir).materialize())
 
     headline = timings.get("er_pipeline", sum(timings.values()))
     return {
