@@ -17,7 +17,6 @@ Reference analog: the run-report counters and per-source verification counts
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -31,7 +30,6 @@ from ..functions.sketch import (
     splitmix64,
     update_registers,
 )
-from .util import pd_to_arrow
 
 _PARTIAL_SCHEMA = pa.schema(
     [
@@ -95,31 +93,36 @@ def profile_table(
         rows = [_col_partial(c, t.column(c)) for c in columns]
         return pa.Table.from_pylist(rows, schema=_PARTIAL_SCHEMA)
 
-    def merge(g: pd.DataFrame) -> pa.Table:
+    def merge(g: pa.Table) -> pa.Table:
+        # arrow group input: pandas concat of partials with all-null string
+        # columns (numeric-only profiles) trips dtype FutureWarnings
         regs = empty_registers()
-        for b in g["hll"]:
+        for b in g.column("hll").to_pylist():
             regs = merge_registers(regs, np.frombuffer(b, np.uint8))
-        mn, mx = g["min_num"].min(), g["max_num"].max()
-        ms = g["min_str"].dropna()
-        xs = g["max_str"].dropna()
-        return pd_to_arrow(
-            pd.DataFrame(
-                {
-                    "col": [g["col"].iloc[0]],
-                    "n": [np.int64(g["n"].sum())],
-                    "n_null": [np.int64(g["n_null"].sum())],
-                    "min_num": [float(mn) if pd.notna(mn) else None],
-                    "max_num": [float(mx) if pd.notna(mx) else None],
-                    "min_str": [ms.min() if len(ms) else None],
-                    "max_str": [xs.max() if len(xs) else None],
-                    "n_distinct_approx": [np.int64(round(estimate(regs)))],
-                }
-            )
+        mm_n = pc.min_max(g.column("min_num"))
+        mm_x = pc.min_max(g.column("max_num"))
+        mm_s = pc.min_max(g.column("min_str"))
+        mm_xs = pc.min_max(g.column("max_str"))
+        return pa.table(
+            {
+                "col": g.column("col").slice(0, 1),
+                "n": pa.array([pc.sum(g.column("n")).as_py() or 0], pa.int64()),
+                "n_null": pa.array(
+                    [pc.sum(g.column("n_null")).as_py() or 0], pa.int64()
+                ),
+                "min_num": pa.array([mm_n["min"].as_py()], pa.float64()),
+                "max_num": pa.array([mm_x["max"].as_py()], pa.float64()),
+                "min_str": pa.array([mm_s["min"].as_py()], pa.string()),
+                "max_str": pa.array([mm_xs["max"].as_py()], pa.string()),
+                "n_distinct_approx": pa.array(
+                    [int(round(estimate(regs)))], pa.int64()
+                ),
+            }
         )
 
     return (
         ds.select_columns(columns)
         .map_batches(partial, batch_format="pyarrow")
         .groupby("col")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
