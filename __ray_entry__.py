@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": A.q_profile_events,
         "profile_docs": A.q_profile_docs,
         "nation_event_revenue": A.q_nation_event_revenue,
+        "top_user_type_revenue": A.q_top_user_type_revenue,
         "docs_stratified_sample": A.q_docs_stratified_sample,
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
@@ -418,6 +419,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_totalprice > 400000)
+        """,
+        "top_user_type_revenue": f"""
+            WITH counts AS (
+              SELECT event_type, user_id, COUNT(*) AS n_events
+              FROM events GROUP BY event_type, user_id
+            ), top AS (
+              SELECT event_type, user_id FROM counts
+              QUALIFY row_number() OVER (PARTITION BY event_type
+                                         ORDER BY n_events DESC, user_id) <= 3
+            )
+            SELECT e.event_type, e.user_id,
+                   CAST(SUM({_CENTS.format(x='e.value')}) AS BIGINT)
+                     AS revenue_c
+            FROM events e
+            JOIN top t ON e.event_type = t.event_type
+                      AND e.user_id = t.user_id
+            GROUP BY e.event_type, e.user_id
         """,
         "nation_event_revenue": f"""
             SELECT n_name, COUNT(*) AS n_events,

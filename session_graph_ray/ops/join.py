@@ -17,6 +17,48 @@ import ray
 import ray.data
 
 
+def composite_key(
+    ds: "ray.data.Dataset",
+    cols: "list[str]",
+    out_col: str = "__ck",
+) -> "ray.data.Dataset":
+    """Append an EXACT composite-key column (``\\x1f``-joined canonical
+    string forms) for multi-column equi-joins: derive once on each side,
+    then pass ``out_col`` to ``bucket_join`` / ``skew_join`` / ``bloom``.
+
+    Exact string concatenation, not a hash — a hash-collision composite key
+    would silently join unrelated rows; strings cost a wider shuffle but can
+    never be wrong. Null components render as an unambiguous sentinel so
+    (1, null) never equals (1, 'None'). Integers are rendered canonically
+    (no float formatting drift across engines)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def render(col) -> "pa.Array":
+        if pa.types.is_integer(col.type):
+            s = pc.cast(col, pa.string())
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            s = col
+        elif pa.types.is_timestamp(col.type):
+            s = pc.cast(pc.cast(col, pa.int64()), pa.string())
+        else:
+            s = pa.array(
+                [None if v is None else repr(v) for v in col.to_pylist()],
+                pa.string(),
+            )
+        return pc.fill_null(s, "\x00null\x00")
+
+    def f(t: pa.Table) -> pa.Table:
+        parts = [render(t.column(c)) for c in cols]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, "\x1f")
+        return t.append_column(out_col, joined)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def rename_batches(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Dataset":
     """Rename columns via a real map_batches transform.
 

@@ -362,6 +362,71 @@ def q_top_users_per_type(sf_dir: str, k: int = 3) -> "rd.Dataset":
     return counts.groupby("event_type").map_groups(topk, batch_format="pandas")
 
 
+def q_top_user_type_revenue(sf_dir: str) -> "rd.Dataset":
+    """Composite-key (event_type, user_id) shuffle join: events against the
+    derived per-type top-3-user table, then revenue per (type, top user).
+    Demonstrates the multi-column equi-join path (ops/join.composite_key →
+    bucket_join); at this dim size a broadcast merge would win, but the
+    composite bucketed form is the shape that survives a dim table too big
+    for one worker heap."""
+    from ..ops.join import bucket_join, composite_key
+    from ..ops.util import pd_to_arrow
+
+    top = q_top_users_per_type(sf_dir).drop_columns(["n_events"])
+    top = composite_key(
+        rename_top(top), ["t_event_type", "t_user_id"], "__rck"
+    )
+
+    ev = _rp(f"{sf_dir}/events.parquet",
+             columns=["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "user_id": t["user_id"],
+                "value_c": _cents(t["value"]),
+            }
+        )
+
+    ev = composite_key(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "user_id"], "__ck",
+    )
+    joined = bucket_join(
+        ev, top, left_on="__ck", right_on="__rck",
+        left_schema=pa.schema(
+            [("event_type", pa.string()), ("user_id", pa.int64()),
+             ("value_c", pa.int64()), ("__ck", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("t_event_type", pa.string()), ("t_user_id", pa.int64()),
+             ("__rck", pa.string())]
+        ),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["event_type", "user_id", "value_c"]).to_pandas()
+        agg = df.groupby(["event_type", "user_id"], as_index=False).agg(
+            revenue_c=("value_c", "sum")
+        )
+        return pd_to_arrow(agg)
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    )
+
+
+def rename_top(top: "rd.Dataset") -> "rd.Dataset":
+    from ..ops.join import rename_batches
+
+    return rename_batches(
+        top, {"event_type": "t_event_type", "user_id": "t_user_id"}
+    )
+
+
 def q_union_sources(sf_dir: str) -> "rd.Dataset":
     """Dataset.union of per-source subsets then one aggregate (the reference's
     union of per-platform graphs, SURVEY.md D4 / README.md:138)."""
