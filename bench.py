@@ -101,7 +101,9 @@ def run_bench(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
 
     if not only or "er_pipeline" in only:
         runs = []
-        for _ in range(max(1, n_rep)):
+        # the headline gets one extra rep: multi-second co-tenant stalls
+        # hit the long ER run far more often than the second-scale queries
+        for _ in range(max(1, n_rep) + 1):
             t0 = time.time()
             er()
             runs.append(round(time.time() - t0, 3))
