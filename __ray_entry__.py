@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard": A.q_doc_ngram_jaccard,
         "top_user_heavy_hitters": A.q_top_user_heavy_hitters,
         "doc_bpe_tokens": A.q_doc_bpe_tokens,
+        "top_tokens": A.q_top_tokens,
+        "doc_vocab_stats": A.q_doc_vocab_stats,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -659,6 +661,21 @@ def oracle_sql() -> dict[str, str]:
                         ' ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+'))) AS BIGINT)
                        AS sum_bpe_tokens
             FROM documents GROUP BY lang
+        """,
+        "top_tokens": r"""
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 30
+        """,
+        "doc_vocab_stats": r"""
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+                   CAST(FLOOR(1000 * COUNT(DISTINCT tok) / COUNT(*)) AS BIGINT)
+                       AS ttr_permille
+            FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                  FROM documents)
+            GROUP BY doc_id
         """,
         "knn_bruteforce": """
             WITH q AS (

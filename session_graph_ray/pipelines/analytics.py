@@ -1246,3 +1246,23 @@ def q_docs_stratified_sample(sf_dir: str, k: int = 20) -> "rd.Dataset":
     docs = _rp(f"{sf_dir}/documents.parquet",
                columns=["doc_id", "lang", "source"])
     return stratified_sample(docs, stratum="lang", key="doc_id", k=k)
+
+
+def q_top_tokens(sf_dir: str, k: int = 30) -> "rd.Dataset":
+    """Corpus-wide word count, top-k tokens by frequency. The wide
+    `GROUP BY token` done scale-safe: per-batch value_counts partials
+    collapse before the shuffle (see ops/wordcount.py)."""
+    from ..ops.wordcount import top_k_tokens
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_k_tokens(docs, k=k)
+
+
+def q_doc_vocab_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-document vocabulary stats (token count, distinct tokens,
+    type-token ratio in integer permille) — vectorized distinct counting
+    via dictionary-encode + lexsort (see ops/wordcount.py)."""
+    from ..ops.wordcount import vocab_stats
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return vocab_stats(docs)

@@ -217,3 +217,37 @@ def test_broadcast_and_hash_join_agree():
     h = hash_join(left, rd.from_pandas(right_df), on="k", right_on="k2").to_pandas()
     assert len(b) == len(h) == 100
     assert sorted(zip(b["v"], b["name"])) == sorted(zip(h["v"], h["name"]))
+
+
+def test_wordcount_token_frequencies():
+    from session_graph_ray.ops.wordcount import token_frequencies, top_k_tokens
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a b a  c"},      # double space -> empty split
+            {"doc_id": 2, "text": " a b "},         # leading/trailing space
+            {"doc_id": 3, "text": "c a"},
+        ]
+    )
+    freq = {r["token"]: r["n"] for r in token_frequencies(ds).iter_rows()}
+    assert freq == {"a": 4, "b": 2, "c": 2}
+    top = [r["token"] for r in top_k_tokens(ds, k=2).iter_rows()]
+    assert top == ["a", "b"]  # count desc, token asc tie-break
+
+
+def test_vocab_stats_distinct_and_ttr():
+    from session_graph_ray.ops.wordcount import vocab_stats
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "x y x z"},   # 4 tokens, 3 distinct
+            {"doc_id": 2, "text": "w w w"},     # 3 tokens, 1 distinct
+            {"doc_id": 3, "text": ""},          # empty -> dropped (SQL parity)
+        ]
+    )
+    rows = {r["doc_id"]: r for r in vocab_stats(ds).iter_rows()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_distinct"] == 3
+    assert rows[1]["ttr_permille"] == 750
+    assert rows[2]["n_tokens"] == 3 and rows[2]["n_distinct"] == 1
+    assert rows[2]["ttr_permille"] == 333
