@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": A.q_doc_bpe_tokens,
         "top_tokens": A.q_top_tokens,
         "doc_vocab_stats": A.q_doc_vocab_stats,
+        "doc_pii_redact": A.q_doc_pii_redact,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -676,6 +677,43 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
                   FROM documents)
             GROUP BY doc_id
+        """,
+        # chained regexp_replace = the op's sequential count-then-redact
+        # semantics; patterns are RE2 in both engines (ops/pii.py)
+        "doc_pii_redact": r"""
+            WITH p AS (
+              SELECT doc_id,
+                text || CASE WHEN doc_id % 3 = 0 THEN ' mail u' || doc_id ||
+                             '@ex' || (doc_id % 7) || '.org' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' ||
+                             (doc_id % 200) || '.3.' || (doc_id % 250)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' ssn 987-65-4321'
+                             ELSE '' END AS t
+              FROM documents),
+            s1 AS (SELECT doc_id, len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS t1 FROM p),
+            s2 AS (SELECT *, len(regexp_extract_all(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '[IPV4]', 'g') AS t2 FROM s1),
+            s3 AS (SELECT *, len(regexp_extract_all(t2,
+                       '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}')) AS n_phone,
+                   regexp_replace(t2, '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}',
+                       '[PHONE]', 'g') AS t3 FROM s2),
+            s4 AS (SELECT *, len(regexp_extract_all(t3,
+                       '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+                   regexp_replace(t3, '\b\d{3}-\d{2}-\d{4}\b',
+                       '[SSN]', 'g') AS t4 FROM s3)
+            SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+                   CAST(n_phone AS BIGINT) AS n_phone,
+                   CAST(n_ssn AS BIGINT) AS n_ssn,
+                   CAST(length(t4) AS BIGINT) AS redacted_len
+            FROM s4
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -1266,3 +1266,52 @@ def q_doc_vocab_stats(sf_dir: str) -> "rd.Dataset":
 
     docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return vocab_stats(docs)
+
+
+def q_doc_pii_redact(sf_dir: str) -> "rd.Dataset":
+    """PII scrub (ops/pii.py) with an exact DuckDB regexp_replace oracle.
+
+    The synthetic corpus has no PII, so the query first plants a
+    deterministic contact suffix per doc (pure function of doc_id — the
+    identical expression runs in the SQL oracle), then counts + redacts all
+    four default patterns and reports the redacted length."""
+    from functools import reduce
+
+    from ..ops.pii import pii_scrub
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        cat = lambda *parts: reduce(np.char.add, parts)
+        sid = did.astype(str)
+        mail = np.where(
+            did % 3 == 0,
+            cat(" mail u", sid, "@ex", (did % 7).astype(str), ".org"), "")
+        ip = np.where(
+            did % 5 == 0,
+            cat(" ip 10.", (did % 200).astype(str), ".3.",
+                (did % 250).astype(str)), "")
+        ssn = np.where(did % 7 == 0, " ssn 987-65-4321", "")
+        text = pc.binary_join_element_wise(
+            t.column("text"), pa.array(mail.astype(object), pa.string()),
+            pa.array(ip.astype(object), pa.string()),
+            pa.array(ssn.astype(object), pa.string()), "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow", batch_size=8192)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_email": t.column("n_email"),
+                "n_ipv4": t.column("n_ipv4"),
+                "n_phone": t.column("n_phone"),
+                "n_ssn": t.column("n_ssn"),
+                "redacted_len": pc.cast(
+                    pc.utf8_length(t.column("text_redacted")), pa.int64()),
+            }
+        )
+
+    return pii_scrub(planted).map_batches(finish, batch_format="pyarrow")

@@ -251,3 +251,38 @@ def test_vocab_stats_distinct_and_ttr():
     assert rows[1]["ttr_permille"] == 750
     assert rows[2]["n_tokens"] == 3 and rows[2]["n_distinct"] == 1
     assert rows[2]["ttr_permille"] == 333
+
+
+def test_pii_scrub_counts_and_masking_order():
+    from session_graph_ray.ops.pii import pii_scrub
+
+    ds = rd.from_items(
+        [
+            # email digits must NOT double-count as phone/ssn after redaction
+            {"doc_id": 1, "text": "write bob@mail123.example.com or +1 555 123 4567"},
+            {"doc_id": 2, "text": "host 192.168.0.1 ssn 123-45-6789"},
+            {"doc_id": 3, "text": "clean text, no pii at all"},
+        ]
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(ds).iter_rows()}
+    r1 = rows[1]
+    assert r1["n_email"] == 1 and r1["n_phone"] == 1 and r1["n_ssn"] == 0
+    assert r1["text_redacted"] == "write [EMAIL] or [PHONE]"
+    r2 = rows[2]
+    assert r2["n_ipv4"] == 1 and r2["n_ssn"] == 1
+    assert r2["text_redacted"] == "host [IPV4] ssn [SSN]"
+    r3 = rows[3]
+    assert r3["text_redacted"] == r3["text"]
+    assert r3["n_email"] + r3["n_ipv4"] + r3["n_phone"] + r3["n_ssn"] == 0
+
+
+def test_pii_filter_drops_matching_rows():
+    from session_graph_ray.ops.pii import pii_filter
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "mail me: a@b.co"},
+            {"doc_id": 2, "text": "all clear"},
+        ]
+    )
+    assert [r["doc_id"] for r in pii_filter(ds).iter_rows()] == [2]
