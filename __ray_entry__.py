@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": A.q_top_tokens,
         "doc_vocab_stats": A.q_doc_vocab_stats,
         "doc_pii_redact": A.q_doc_pii_redact,
+        "local_supplier_revenue": A.q_local_supplier_revenue,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -714,6 +715,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_ssn AS BIGINT) AS n_ssn,
                    CAST(length(t4) AS BIGINT) AS redacted_len
             FROM s4
+        """,
+        "local_supplier_revenue": f"""
+            SELECT n_name,
+                   CAST(SUM({_CENTS.format(x='l_extendedprice*(1-l_discount)')})
+                        AS BIGINT) AS revenue_c
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1996-01-01'
+            GROUP BY n_name ORDER BY revenue_c DESC, n_name
         """,
         "knn_bruteforce": """
             WITH q AS (

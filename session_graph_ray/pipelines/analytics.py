@@ -1315,3 +1315,86 @@ def q_doc_pii_redact(sf_dir: str) -> "rd.Dataset":
         )
 
     return pii_scrub(planted).map_batches(finish, batch_format="pyarrow")
+
+
+def q_local_supplier_revenue(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q5 shape: 6-table join chain (customer x orders x lineitem x
+    supplier x nation x region) with the local-supplier constraint
+    (c_nationkey = s_nationkey), revenue per nation in ASIA for one year.
+
+    Join strategy by cardinality class: region/nation/supplier fold into
+    broadcast maps (ray.put once, read per batch — at 100 TB supplier
+    would graduate to a bucket_join, the plan is otherwise unchanged);
+    orders x customer and lineitem x orders are big-big bucket joins that
+    both partition on the SAME key family (orderkey after the custkey
+    pre-join), with every non-needed column dropped before the shuffles."""
+    region = _rp(f"{sf_dir}/region.parquet",
+                 columns=["r_regionkey", "r_name"]).to_pandas()
+    nation = _rp(f"{sf_dir}/nation.parquet",
+                 columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    asia = nation.merge(region[region.r_name == "ASIA"], left_on="n_regionkey",
+                        right_on="r_regionkey")[["n_nationkey", "n_name"]]
+    asia_keys = set(asia.n_nationkey.tolist())
+    name_of = dict(zip(asia.n_nationkey, asia.n_name))
+
+    supp = _rp(f"{sf_dir}/supplier.parquet",
+               columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp.s_nationkey.isin(asia_keys)]
+
+    lo, hi = (pa.scalar(np.datetime64("1995-01-01", "us")),
+              pa.scalar(np.datetime64("1996-01-01", "us")))
+
+    cust = _rp(f"{sf_dir}/customer.parquet",
+               columns=["c_custkey", "c_nationkey"])
+    asia_arr = pa.array(sorted(asia_keys), pa.int64())
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=asia_arr)),
+        batch_format="pyarrow", batch_size=65536)
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        t = t.filter(m)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"]})
+
+    ord_cust = hash_join(
+        orders.map_batches(o_prep, batch_format="pyarrow", batch_size=65536),
+        cust, on="o_custkey", right_on="c_custkey",
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "revenue_c": _cents(rev)})
+
+    li_supp = broadcast_join(
+        li.map_batches(l_prep, batch_format="pyarrow", batch_size=65536),
+        supp, left_on="l_suppkey", right_on="s_suppkey",
+    ).select_columns(["l_orderkey", "s_nationkey", "revenue_c"])
+
+    both = hash_join(li_supp, ord_cust, on="l_orderkey",
+                     right_on="o_orderkey")
+
+    def local_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["s_nationkey"], t["c_nationkey"]))
+        return pa.table({"n_nationkey": t["s_nationkey"],
+                         "revenue_c": t["revenue_c"]})
+
+    agg = (both.map_batches(local_only, batch_format="pyarrow")
+           .groupby("n_nationkey")
+           .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+
+    names = pd.DataFrame({"n_nationkey": list(name_of), "n_name": [name_of[k] for k in name_of]})
+    out = broadcast_join(agg, names, left_on="n_nationkey")
+    return out.select_columns(["n_name", "revenue_c"]).sort(
+        ["revenue_c", "n_name"], descending=[True, False])
