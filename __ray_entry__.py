@@ -175,6 +175,38 @@ def _q_embedding_near_dup(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (ops/semdedup.py) over the embeddings table with 16 planted
+    near-copies (same planting as embedding_near_dup): returns the dropped
+    rows (vec_id, rep_id) — exactly the 16 copies mapping to their originals
+    when clustering assigns copy and original to the same cell (guaranteed
+    here: cosine(copy, original) = 1, so argmax centroid is identical)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from session_graph_ray.ops.semdedup import semantic_dedup_assignments
+
+    base = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    head = base.slice(0, 16)
+    copies = pa.table(
+        {
+            "vec_id": pa.compute.add(head.column("vec_id"), 1_000_000),
+            "embedding": head.column("embedding"),
+        }
+    )
+    emb = rd.from_arrow(pa.concat_tables([base, copies.cast(base.schema)]))
+    asg = semantic_dedup_assignments(emb, threshold=0.95, n_clusters=16)
+    return asg.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], t["rep_id"])).select(
+            ["vec_id", "rep_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_knn_ivf(sf_dir: str):
     from session_graph_ray.sources.parquet import read_parquet_clean as _rp
 
@@ -266,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "doc_fingerprints": _q_doc_fingerprints,
         "embedding_near_dup": _q_embedding_near_dup,
+        "semantic_dedup": _q_semantic_dedup,
         "knn_ivf": _q_knn_ivf,
         "media_features": _q_media_features,
     }

@@ -286,3 +286,41 @@ def test_pii_filter_drops_matching_rows():
         ]
     )
     assert [r["doc_id"] for r in pii_filter(ds).iter_rows()] == [2]
+
+
+def test_semantic_dedup_planted_copies():
+    from session_graph_ray.ops.semdedup import (
+        semantic_dedup_assignments,
+        semantic_dedup_survivors,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 16)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(60)]
+    # plant near-copies of vectors 0..4 (tiny perturbation -> cosine ~ 1)
+    for i in range(5):
+        v = base[i] + 0.001 * rng.randn(16)
+        rows.append({"vec_id": 1000 + i, "embedding": v.tolist()})
+    ds = rd.from_items(rows)
+    asg = semantic_dedup_assignments(ds, threshold=0.95, n_clusters=4).to_pandas()
+    assert len(asg) == 65
+    dropped = asg[asg.vec_id != asg.rep_id]
+    assert sorted(dropped.vec_id.tolist()) == [1000, 1001, 1002, 1003, 1004]
+    assert sorted(dropped.rep_id.tolist()) == [0, 1, 2, 3, 4]
+    surv = semantic_dedup_survivors(ds, threshold=0.95, n_clusters=4).to_pandas()
+    assert sorted(surv.vec_id.tolist()) == list(range(60))
+
+
+def test_semantic_dedup_transitive_within_cluster():
+    from session_graph_ray.ops.semdedup import semantic_dedup_assignments
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(16)
+    rows = [{"vec_id": i, "embedding": (a + 0.0005 * rng.randn(16)).tolist()}
+            for i in range(6)]  # one 6-member dup group
+    rows += [{"vec_id": 100 + i, "embedding": rng.randn(16).tolist()}
+             for i in range(20)]
+    ds = rd.from_items(rows)
+    asg = semantic_dedup_assignments(ds, threshold=0.95, n_clusters=2).to_pandas()
+    group = asg[asg.vec_id < 100]
+    assert (group.rep_id == 0).all()  # whole group collapses to min id
