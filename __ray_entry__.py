@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_stats": A.q_doc_vocab_stats,
         "doc_pii_redact": A.q_doc_pii_redact,
         "local_supplier_revenue": A.q_local_supplier_revenue,
+        "doc_dup_spans": A.q_doc_dup_spans,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -761,6 +762,28 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1995-01-01'
               AND o_orderdate < DATE '1996-01-01'
             GROUP BY n_name ORDER BY revenue_c DESC, n_name
+        """,
+        # gram-string oracle for the hash-based span dedup (ops/spandedup.py)
+        "doc_dup_spans": r"""
+            WITH p AS (
+              SELECT doc_id, text || CASE WHEN doc_id % 10 = 0
+                  THEN ' standard license header text appended to every tenth document for duplicate span detection'
+                  ELSE '' END AS t
+              FROM documents),
+            tk AS (SELECT doc_id, regexp_extract_all(t, '\S+') AS ts FROM p),
+            g AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+                  FROM tk, UNNEST(generate_series(1, len(ts)-7)) AS s(i)
+                  WHERE len(ts) >= 8),
+            c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+                  FROM g JOIN c USING (gram) GROUP BY doc_id)
+            SELECT tk.doc_id,
+                   CAST(GREATEST(len(ts)-7, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(d.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+                   CAST(CASE WHEN len(ts) >= 8
+                        THEN FLOOR(1000 * COALESCE(d.n_dup_grams, 0) / (len(ts)-7))
+                        ELSE 0 END AS BIGINT) AS dup_frac_permille
+            FROM tk LEFT JOIN d USING (doc_id)
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -1398,3 +1398,28 @@ def q_local_supplier_revenue(sf_dir: str) -> "rd.Dataset":
     out = broadcast_join(agg, names, left_on="n_nationkey")
     return out.select_columns(["n_name", "revenue_c"]).sort(
         ["revenue_c", "n_name"], descending=[True, False])
+
+
+_BOILER = ("standard license header text appended to every tenth document "
+           "for duplicate span detection")
+
+
+def q_doc_dup_spans(sf_dir: str) -> "rd.Dataset":
+    """Exact duplicate-span detection (ops/spandedup.py, Lee et al. 2022
+    shape) with a full DuckDB oracle on gram strings: every tenth doc gets a
+    deterministic boilerplate suffix, so its 8-grams recur corpus-wide while
+    the word-salad base text stays unique."""
+    from ..ops.spandedup import duplicate_span_stats
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        suffix = np.where(did % 10 == 0, " " + _BOILER, "")
+        text = pc.binary_join_element_wise(
+            t.column("text"),
+            pa.array(suffix.astype(object), pa.string()), "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow", batch_size=8192)
+    return duplicate_span_stats(planted, n=8)

@@ -324,3 +324,36 @@ def test_semantic_dedup_transitive_within_cluster():
     asg = semantic_dedup_assignments(ds, threshold=0.95, n_clusters=2).to_pandas()
     group = asg[asg.vec_id < 100]
     assert (group.rep_id == 0).all()  # whole group collapses to min id
+
+
+def test_duplicate_span_stats_planted():
+    from session_graph_ray.ops.spandedup import duplicate_span_stats
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+    docs = [
+        {"doc_id": 1, "text": "unique one two three " + span},        # 24 tokens? no: 4+10
+        {"doc_id": 2, "text": span + " tail words here now extra"},
+        {"doc_id": 3, "text": "totally different content with no shared spans at all beyond"},
+        {"doc_id": 4, "text": "short doc"},                            # < n tokens
+    ]
+    ds = rd.from_items(docs)
+    out = {r["doc_id"]: r for r in duplicate_span_stats(ds, n=8).iter_rows()}
+    # the 10-token shared span has 3 duplicated 8-grams in each carrier
+    assert out[1]["n_grams"] == 14 - 7 and out[1]["n_dup_grams"] == 3
+    assert out[2]["n_grams"] == 15 - 7 and out[2]["n_dup_grams"] == 3
+    assert out[3]["n_dup_grams"] == 0
+    assert out[4]["n_grams"] == 0 and out[4]["n_dup_grams"] == 0
+    assert out[4]["dup_frac_permille"] == 0
+
+
+def test_duplicate_span_within_doc_repeat():
+    from session_graph_ray.ops.spandedup import duplicate_span_stats
+
+    rep = "one two three four five six seven eight"  # exactly 8 tokens
+    ds = rd.from_items([
+        {"doc_id": 1, "text": rep + " filler " + rep},  # same 8-gram twice
+        {"doc_id": 2, "text": "nothing in common with that other document here"},
+    ])
+    out = {r["doc_id"]: r for r in duplicate_span_stats(ds, n=8).iter_rows()}
+    assert out[1]["n_dup_grams"] >= 2  # both copies of the repeated gram flagged
+    assert out[2]["n_dup_grams"] == 0
