@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redact": A.q_doc_pii_redact,
         "local_supplier_revenue": A.q_local_supplier_revenue,
         "doc_dup_spans": A.q_doc_dup_spans,
+        "doc_repetition": A.q_doc_repetition,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -784,6 +785,22 @@ def oracle_sql() -> dict[str, str]:
                         THEN FLOOR(1000 * COALESCE(d.n_dup_grams, 0) / (len(ts)-7))
                         ELSE 0 END AS BIGINT) AS dup_frac_permille
             FROM tk LEFT JOIN d USING (doc_id)
+        """,
+        "doc_repetition": r"""
+            WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+                        FROM documents),
+            g AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS gram
+                  FROM tk, UNNEST(generate_series(1, len(ts)-1)) AS s(i)
+                  WHERE len(ts) >= 2),
+            c AS (SELECT doc_id, gram, COUNT(*) AS nn FROM g
+                  GROUP BY doc_id, gram),
+            m AS (SELECT doc_id, MAX(nn) AS mx FROM c GROUP BY doc_id)
+            SELECT tk.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(mx, 0) AS BIGINT) AS max_2gram_count,
+                   CAST(CASE WHEN len(ts) > 0
+                        THEN FLOOR(1000 * 2 * COALESCE(mx, 0) / len(ts))
+                        ELSE 0 END AS BIGINT) AS top2_cover_permille
+            FROM tk LEFT JOIN m USING (doc_id)
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -125,3 +125,65 @@ def vocab_stats(
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+def repetition_stats(
+    ds: "rd.Dataset",
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Per-doc repetition metrics (Gopher-rule family, Rae et al. 2021):
+    the within-doc occurrence count of the most frequent n-gram and the
+    fraction of tokens it covers (integer permille, floor).
+
+    Pure map-side — no shuffle: each doc's grams are counted inside the
+    batch kernel via hash + lexsort + run-length, max per row with
+    ``np.maximum.at``. Docs with < n tokens report 0 / 0.
+    """
+    from ..functions.hashing import hash64_np
+    from ..functions.minhash import mix64
+
+    P = np.uint64(0x100000001B3)
+
+    def f(t: pa.Table) -> pa.Table:
+        flat, lengths = _flat_tokens(t.column(text_col))
+        n_rows = len(lengths)
+        mx = np.zeros(n_rows, dtype=np.int64)
+        if len(flat) >= n:
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            th = mix64(hash64_np(enc.dictionary.to_pylist()))[codes]
+            row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+            m = len(th) - n + 1
+            h = np.zeros(m, dtype=np.uint64)
+            mult = np.uint64(1)
+            with np.errstate(over="ignore"):
+                for k in range(n):
+                    h += th[k : k + m] * mult
+                    mult *= P
+            valid = row_ids[:m] == row_ids[n - 1 :]
+            gr, gh = row_ids[:m][valid], h[valid]
+            if len(gr):
+                order = np.lexsort((gh, gr))
+                gr_s, gh_s = gr[order], gh[order]
+                start = np.ones(len(gr_s), dtype=bool)
+                start[1:] = (gr_s[1:] != gr_s[:-1]) | (gh_s[1:] != gh_s[:-1])
+                sidx = np.nonzero(start)[0]
+                run = np.diff(np.append(sidx, len(gr_s)))
+                np.maximum.at(mx, gr_s[sidx], run)
+        cover = np.zeros(n_rows, dtype=np.int64)
+        nz = lengths > 0
+        cover[nz] = (1000 * n * mx[nz]) // lengths[nz]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_tokens": pa.array(lengths),
+                f"max_{n}gram_count": pa.array(mx),
+                f"top{n}_cover_permille": pa.array(cover),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)

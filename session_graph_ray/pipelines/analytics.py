@@ -1423,3 +1423,12 @@ def q_doc_dup_spans(sf_dir: str) -> "rd.Dataset":
 
     planted = docs.map_batches(plant, batch_format="pyarrow", batch_size=8192)
     return duplicate_span_stats(planted, n=8)
+
+
+def q_doc_repetition(sf_dir: str) -> "rd.Dataset":
+    """Gopher-style repetition metric: most-frequent-2-gram count and its
+    token-coverage permille per doc — pure map-side (ops/wordcount.py)."""
+    from ..ops.wordcount import repetition_stats
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(docs, n=2)

@@ -357,3 +357,20 @@ def test_duplicate_span_within_doc_repeat():
     out = {r["doc_id"]: r for r in duplicate_span_stats(ds, n=8).iter_rows()}
     assert out[1]["n_dup_grams"] >= 2  # both copies of the repeated gram flagged
     assert out[2]["n_dup_grams"] == 0
+
+
+def test_repetition_stats_top_2gram():
+    from session_graph_ray.ops.wordcount import repetition_stats
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "ha ho ha ho ha ho end"},  # "ha ho" x3 in 7 tokens
+            {"doc_id": 2, "text": "all words unique here now"},
+            {"doc_id": 3, "text": "solo"},                    # < 2 tokens
+        ]
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(ds, n=2).iter_rows()}
+    assert out[1]["max_2gram_count"] == 3
+    assert out[1]["top2_cover_permille"] == (1000 * 2 * 3) // 7
+    assert out[2]["max_2gram_count"] == 1
+    assert out[3]["max_2gram_count"] == 0 and out[3]["top2_cover_permille"] == 0
