@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_revenue": A.q_local_supplier_revenue,
         "doc_dup_spans": A.q_doc_dup_spans,
         "doc_repetition": A.q_doc_repetition,
+        "doc_contamination": A.q_doc_contamination,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -801,6 +802,36 @@ def oracle_sql() -> dict[str, str]:
                         THEN FLOOR(1000 * 2 * COALESCE(mx, 0) / len(ts))
                         ELSE 0 END AS BIGINT) AS top2_cover_permille
             FROM tk LEFT JOIN m USING (doc_id)
+        """,
+        "doc_contamination": r"""
+            WITH heads AS (
+              SELECT doc_id + 1 AS tgt, array_to_string(ts[1:12], ' ') AS h
+              FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+                    FROM documents WHERE doc_id % 2 = 0)),
+            test AS (
+              SELECT b.doc_id,
+                     b.text || CASE WHEN (b.doc_id + 1) % 8 = 0
+                                    AND h IS NOT NULL AND h <> ''
+                               THEN ' ' || h ELSE '' END AS t
+              FROM documents b LEFT JOIN heads ON b.doc_id = heads.tgt
+              WHERE b.doc_id % 2 = 1),
+            train AS (SELECT text AS t FROM documents WHERE doc_id % 2 = 0),
+            tg AS (SELECT DISTINCT array_to_string(ts[i:i+7], ' ') AS gram
+                   FROM (SELECT regexp_extract_all(t, '\S+') AS ts FROM train),
+                        UNNEST(generate_series(1, len(ts)-7)) s(i)
+                   WHERE len(ts) >= 8),
+            tk AS (SELECT doc_id, regexp_extract_all(t, '\S+') AS ts FROM test),
+            eg AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+                   FROM tk, UNNEST(generate_series(1, len(ts)-7)) s(i)
+                   WHERE len(ts) >= 8),
+            hit AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+                    FROM eg JOIN tg USING (gram) GROUP BY doc_id)
+            SELECT tk.doc_id, CAST(GREATEST(len(ts)-7, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit_grams,
+                   CAST(CASE WHEN len(ts) >= 8
+                        THEN FLOOR(1000 * COALESCE(n_hit, 0) / (len(ts)-7))
+                        ELSE 0 END AS BIGINT) AS hit_frac_permille
+            FROM tk LEFT JOIN hit USING (doc_id)
         """,
         "knn_bruteforce": """
             WITH q AS (

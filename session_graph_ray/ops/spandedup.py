@@ -159,3 +159,84 @@ def duplicate_span_stats(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def contamination_stats(
+    train: "rd.Dataset",
+    test: "rd.Dataset",
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Benchmark-contamination check: for every *test* doc, the number and
+    fraction of its n-gram spans that appear anywhere in the *train* corpus
+    (the train/test n-gram-overlap decontamination rule used by GPT-3 /
+    PaLM-style data curation).
+
+    Plan: explode both sides to (gram_hash, doc_id); distinct train grams
+    (one census groupby — ships 8-byte ints); bucketed int semi-join of test
+    occurrences against train grams; per-test-doc counts re-joined with
+    totals. Same bounded-shuffle profile as ``duplicate_span_stats``.
+
+    Output: (doc_id, n_grams, n_hit_grams, hit_frac_permille) per test doc.
+    """
+    from .join import bucket_join
+
+    tr_grams = train.map_batches(
+        _explode_grams(n, id_col, text_col),
+        batch_format="pyarrow", batch_size=4096,
+    )
+    train_keys = tr_grams.groupby("gram_h").aggregate(
+        Count(alias_name="n_occ")
+    ).map_batches(
+        lambda t: pa.table({"tr_h": t["gram_h"]}), batch_format="pyarrow"
+    )
+
+    te_grams = test.map_batches(
+        _explode_grams(n, id_col, text_col),
+        batch_format="pyarrow", batch_size=4096,
+    )
+    hits = bucket_join(
+        te_grams, train_keys, left_on="gram_h", right_on="tr_h",
+        left_schema=pa.schema([("gram_h", pa.int64()),
+                               ("g_doc_id", pa.int64())]),
+        right_schema=pa.schema([("tr_h", pa.int64())]),
+    )
+    per_doc_hit = hits.groupby("g_doc_id").aggregate(
+        Count(alias_name="n_hit_grams")
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        _, lengths = _flat_tokens(t.column(text_col))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_grams": pa.array(np.maximum(lengths - (n - 1), 0)),
+            }
+        )
+
+    tot = test.map_batches(totals, batch_format="pyarrow", batch_size=8192)
+    joined = bucket_join(
+        tot, per_doc_hit, left_on=id_col, right_on="g_doc_id", how="left",
+        left_schema=pa.schema([(id_col, pa.int64()), ("n_grams", pa.int64())]),
+        right_schema=pa.schema([("g_doc_id", pa.int64()),
+                                ("n_hit_grams", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nh = pc.cast(pc.fill_null(t["n_hit_grams"], 0), pa.int64())
+        ng = t["n_grams"].to_numpy(zero_copy_only=False)
+        nhv = nh.to_numpy(zero_copy_only=False)
+        frac = np.zeros(len(ng), dtype=np.int64)
+        nz = ng > 0
+        frac[nz] = (1000 * nhv[nz]) // ng[nz]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_grams": t["n_grams"],
+                "n_hit_grams": nh,
+                "hit_frac_permille": pa.array(frac),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -1432,3 +1432,56 @@ def q_doc_repetition(sf_dir: str) -> "rd.Dataset":
 
     docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return repetition_stats(docs, n=2)
+
+
+def q_doc_contamination(sf_dir: str) -> "rd.Dataset":
+    """Train/test n-gram contamination (ops/spandedup.py): the corpus is
+    split by doc_id parity into a 'train' and a 'test' side; test docs whose
+    doc_id is divisible by 4 additionally carry a copied 12-token span from
+    train doc (doc_id-2) — planted leakage the checker must surface. Full
+    DuckDB oracle on gram strings."""
+    from ..ops.spandedup import contamination_stats
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def even_side(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+
+    def odd_side(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+
+    train = docs.map_batches(even_side, batch_format="pyarrow")
+    test = docs.map_batches(odd_side, batch_format="pyarrow")
+
+    # plant leakage: odd docs with (doc_id+1) % 8 == 0 copy the first 12
+    # tokens of train doc (doc_id-1) — that train doc exists (it's even)
+    train_head = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "head12": pc.binary_join(
+                pc.list_slice(pc.split_pattern_regex(t["text"], r"\s+"),
+                              0, 12), " "),
+        }),
+        batch_format="pyarrow",
+    )
+
+    def leak(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        take = (did + 1) % 8 == 0
+        head = t.column("head12").to_pylist()
+        txt = t.column("text").to_pylist()
+        out = [x + " " + h if m and h else x
+               for x, h, m in zip(txt, head, take)]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    from ..ops.join import broadcast_join
+
+    heads = train_head.to_pandas()
+    heads = heads.rename(columns={"doc_id": "src_id"})
+    heads["src_id"] = heads["src_id"] + 1  # align train doc d with test doc d+1
+    test_planted = broadcast_join(
+        test, heads, left_on="doc_id", right_on="src_id", how="left"
+    ).map_batches(leak, batch_format="pyarrow")
+
+    return contamination_stats(train, test_planted, n=8)

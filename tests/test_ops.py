@@ -374,3 +374,23 @@ def test_repetition_stats_top_2gram():
     assert out[1]["top2_cover_permille"] == (1000 * 2 * 3) // 7
     assert out[2]["max_2gram_count"] == 1
     assert out[3]["max_2gram_count"] == 0 and out[3]["top2_cover_permille"] == 0
+
+
+def test_contamination_stats_planted_leak():
+    from session_graph_ray.ops.spandedup import contamination_stats
+
+    span = "q w e r t y u i o p"  # 10 tokens -> 3 shared 8-grams
+    train = rd.from_items([
+        {"doc_id": 1, "text": "training corpus body " + span},
+        {"doc_id": 2, "text": "other training material entirely distinct from anything else"},
+    ])
+    test = rd.from_items([
+        {"doc_id": 10, "text": span + " plus novel continuation words"},   # leaked
+        {"doc_id": 11, "text": "fresh benchmark question with no overlap at all whatsoever"},
+        {"doc_id": 12, "text": "tiny"},
+    ])
+    out = {r["doc_id"]: r for r in contamination_stats(train, test, n=8).iter_rows()}
+    assert out[10]["n_hit_grams"] == 3 and out[10]["n_grams"] == 14 - 7
+    assert out[10]["hit_frac_permille"] == (1000 * 3) // 7
+    assert out[11]["n_hit_grams"] == 0
+    assert out[12]["n_grams"] == 0 and out[12]["hit_frac_permille"] == 0
