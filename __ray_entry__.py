@@ -175,6 +175,19 @@ def _q_embedding_near_dup(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def _q_pack_docs(sf_dir: str):
+    """Sequence packing (ops/packing.py): documents into 256-token training
+    bins, FFD within doc_id-hash shards (rows-only: bin assignment is an
+    inherently sequential heuristic with no SQL equivalent; invariants —
+    exactly-once assignment, budget respected, determinism — are pinned by
+    pytest)."""
+    from session_graph_ray.ops.packing import pack_sequences
+    from session_graph_ray.sources.parquet import read_parquet_clean as _rp
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(docs, max_tokens=256, n_shards=16)
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (ops/semdedup.py) over the embeddings table with 16 planted
     near-copies (same planting as embedding_near_dup): returns the dropped
@@ -302,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "embedding_near_dup": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
+        "pack_docs": _q_pack_docs,
         "knn_ivf": _q_knn_ivf,
         "media_features": _q_media_features,
     }

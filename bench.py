@@ -137,6 +137,11 @@ def run_bench(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
     timed("customers_no_big_order",
           lambda: A.q_customers_no_big_order(sf_dir).materialize())
     timed("profile_events", lambda: A.q_profile_events(sf_dir).materialize())
+    timed("top_tokens", lambda: A.q_top_tokens(sf_dir).materialize())
+    timed("doc_dup_spans", lambda: A.q_doc_dup_spans(sf_dir).materialize())
+    timed("doc_pii_redact", lambda: A.q_doc_pii_redact(sf_dir).materialize())
+    timed("local_supplier_revenue",
+          lambda: A.q_local_supplier_revenue(sf_dir).materialize())
 
     headline = timings.get("er_pipeline", sum(timings.values()))
     return {

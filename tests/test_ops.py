@@ -394,3 +394,35 @@ def test_contamination_stats_planted_leak():
     assert out[10]["hit_frac_permille"] == (1000 * 3) // 7
     assert out[11]["n_hit_grams"] == 0
     assert out[12]["n_grams"] == 0 and out[12]["hit_frac_permille"] == 0
+
+
+def test_pack_sequences_invariants():
+    from session_graph_ray.ops.packing import pack_sequences, packing_stats
+
+    rng = np.random.RandomState(11)
+    docs = [{"doc_id": i, "text": " ".join(["tok"] * int(rng.randint(5, 200)))}
+            for i in range(300)]
+    docs.append({"doc_id": 999, "text": " ".join(["big"] * 700)})  # oversize
+    ds = rd.from_items(docs)
+    out = pack_sequences(ds, max_tokens=512, n_shards=8).to_pandas()
+    assert len(out) == 301 and out.doc_id.is_unique  # every doc exactly once
+    # no bin exceeds the budget except dedicated oversize bins
+    fills = out.groupby("pack_id").n_tokens.sum()
+    over_bins = set(out[out.oversize].pack_id)
+    assert all(v <= 512 for b, v in fills.items() if b not in over_bins)
+    assert out[out.doc_id == 999].oversize.all()
+    # oversize bins hold exactly one doc
+    assert (out[out.pack_id.isin(over_bins)].groupby("pack_id").size() == 1).all()
+    # determinism across runs
+    out2 = pack_sequences(ds, max_tokens=512, n_shards=8).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
+    stats = packing_stats(
+        pack_sequences(ds, max_tokens=512, n_shards=8), 512
+    ).to_pandas()
+    assert stats.n_docs.sum() == 301
+    # FFD should keep average fill of non-oversize bins reasonably high
+    normal = stats[~stats.pack_id.isin(over_bins)]
+    assert normal.fill_permille.mean() > 600
