@@ -66,40 +66,78 @@ class QualityScorer:
     (the reference's two-level garbage screens as a score, not a hard drop).
     lang_pred: argmax stopword-hit-rate over the known sets; CJK-codepoint
     dominance short-circuits to 'zh'; below min evidence -> 'unknown'.
+
+    The kernel is fully vectorized: words come from ONE RE2 split per batch
+    (``[^\\p{L}\\p{N}_]+`` — the Unicode-class equivalent of ``\\w+`` runs),
+    stopword membership is evaluated once per DISTINCT token (dictionary
+    encode), per-row hit counts fall out of a weighted ``bincount``. No
+    Python touches individual rows.
     """
 
+    _LANGS = list(_STOPWORDS)
+
     def __init__(self):
-        self.word = _WORD_RE
         self.stop = {k: frozenset(v) for k, v in _STOPWORDS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs, quals, stop_ratios = [], [], []
-        for t in texts:
-            t = t or ""
-            words = [w.lower() for w in self.word.findall(t)]
-            n = len(words)
-            cjk = len(_CJK_RE.findall(t))
-            if cjk > 0 and cjk >= len(t) * 0.2:
-                lang, hit = "zh", 0.0
-            else:
-                best, hit = "unknown", 0.0
-                for lg, sw in self.stop.items():
-                    r = sum(1 for w in words if w in sw) / n if n else 0.0
-                    if r > hit:
-                        best, hit = lg, r
-                lang = best if hit >= 0.03 else "unknown"
-            punct = len(_PUNCT_RE.findall(t))
-            len_score = min(n / 20.0, 1.0)
-            punct_score = 1.0 - min(punct / max(len(t), 1) * 4.0, 1.0)
-            stop_score = min(hit * 10.0, 1.0) if lang != "zh" else 1.0
-            langs.append(lang)
-            stop_ratios.append(hit)
-            quals.append(round(0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score, 6))
+        import pyarrow.compute as _pc
+
+        texts = batch.column("text")
+        n_rows = len(batch)
+        nchars = _pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        nchars = np.nan_to_num(nchars.astype(np.float64)).astype(np.int64)
+        cjk = _pc.cast(
+            _pc.count_substring_regex(texts, "[一-鿿]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        punct = _pc.cast(
+            _pc.count_substring_regex(texts, r"[^\p{L}\p{N}_\s]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+
+        lists = _pc.split_pattern_regex(
+            _pc.utf8_lower(_pc.fill_null(texts, "")), r"[^\p{L}\p{N}_]+"
+        )
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        lengths = _pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+        keep = _pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        row_ids = row_ids[keep]
+        n_words = np.bincount(row_ids, minlength=n_rows).astype(np.int64)
+
+        ratios = np.zeros((len(self._LANGS), n_rows), dtype=np.float64)
+        if len(flat):
+            enc = _pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dvals = enc.dictionary.to_pylist()
+            nz = np.maximum(n_words, 1)
+            for li, lg in enumerate(self._LANGS):
+                sw = self.stop[lg]
+                member = np.fromiter(
+                    (v in sw for v in dvals), dtype=bool, count=len(dvals)
+                )
+                hits = np.bincount(row_ids[member[codes]], minlength=n_rows)
+                ratios[li] = hits / nz
+        hit = ratios.max(axis=0)
+        best_idx = ratios.argmax(axis=0)  # first max — dict-order tie-break
+        lang_arr = np.array(self._LANGS, dtype=object)[best_idx]
+        lang_arr[hit < 0.03] = "unknown"
+        is_zh = (cjk > 0) & (cjk >= nchars * 0.2)
+        lang_arr[is_zh] = "zh"
+        hit[is_zh] = 0.0
+
+        len_score = np.minimum(n_words / 20.0, 1.0)
+        punct_score = 1.0 - np.minimum(punct / np.maximum(nchars, 1) * 4.0, 1.0)
+        stop_score = np.where(is_zh, 1.0, np.minimum(hit * 10.0, 1.0))
+        qual = np.round(0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score, 6)
+
         out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
-        out = out.append_column("lang_pred", pa.array(langs, pa.string()))
-        out = out.append_column("stopword_ratio", pa.array(stop_ratios, pa.float64()))
-        out = out.append_column("quality", pa.array(quals, pa.float64()))
+        out = out.append_column("lang_pred", pa.array(lang_arr, pa.string()))
+        out = out.append_column("stopword_ratio", pa.array(hit, pa.float64()))
+        out = out.append_column("quality", pa.array(qual, pa.float64()))
         return out
 
 
