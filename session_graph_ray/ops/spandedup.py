@@ -5,14 +5,18 @@ Better" (Lee et al., 2022, arXiv:2107.06499) — find exact token spans that
 recur across a corpus and score each document by the fraction of its spans
 that are duplicated somewhere else (including elsewhere in the same doc).
 
-Ray-Data plan (two bounded shuffles, one bucketed semi-join):
+Ray-Data plan (two bounded shuffles, one size-gated semi-join):
   1. one ``map_batches`` explodes each doc into (gram_hash, doc_id) rows —
      every token is hashed ONCE via dictionary-encode, window hashes are an
      n-term vectorized polynomial combine (no per-window Python);
-  2. census: ``groupby(gram_hash).count()`` filtered to count >= min_count —
-     output is one row per duplicated gram, shuffle ships 8-byte ints;
-  3. occurrences semi-join the census (bucketed int join) and reduce to
-     per-doc duplicate-gram counts, re-joined with per-doc totals.
+  2. census via ``_bucketed_value_counts``: bucket by ``hash % B``, then one
+     vectorized ``np.unique`` kernel per bucket (Ray's native aggregate pays
+     per-GROUP Python overhead — measured 24s vs <1s on a 225k-group
+     census). Output is one row per duplicated gram, shuffle ships ints;
+  3. occurrences semi-join the census — broadcast sorted-array searchsorted
+     when the key set is small (zero shuffle), bucketed partitioned join
+     above ``BROADCAST_MAX_KEYS`` — then per-doc counts re-joined with
+     per-doc totals (same size gate).
 
 The gram identity is a 64-bit polynomial hash (carried as int64 — the
 join/shuffle layer is int64-native) of the token hashes: a hash
@@ -30,13 +34,99 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+
 
 from ..functions.hashing import hash64_np
 from ..functions.minhash import mix64 as _splitmix64
 from .wordcount import _flat_tokens
 
 _P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for the window combine
+
+# at or below this many distinct key rows the semi-join broadcasts a sorted
+# int64 array via the object store (8 B/key -> <= ~16 MB) and membership is
+# one vectorized searchsorted per batch — zero shuffle. Above it, the
+# bucketed partitioned join is the plan (the 100-TB path).
+BROADCAST_MAX_KEYS = 2_000_000
+
+
+def _bucketed_value_counts(
+    ds: "rd.Dataset",
+    col: str,
+    out_val: str,
+    out_cnt: str | None,
+    min_count: int = 1,
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """High-cardinality value counts: bucket by ``hash % B`` then ONE
+    vectorized ``np.unique`` kernel per bucket.
+
+    Ray's native ``groupby().aggregate(Count)`` pays per-GROUP Python
+    overhead in the reduce — pathological when nearly every row is its own
+    group (measured: 24s for a 235k-row / 225k-group census vs <1s for this
+    kernel). B bounds the shuffle's group count; the kernel is pure numpy.
+    ``out_cnt=None`` emits only the values with count >= min_count.
+    """
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bkt", pa.array((v % num_buckets).astype(np.int32))
+        )
+
+    def kern(g: pa.Table) -> pa.Table:
+        v = g.column(col).to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(v, return_counts=True)
+        if min_count > 1:
+            keepm = counts >= min_count
+            vals, counts = vals[keepm], counts[keepm]
+        out = {out_val: pa.array(vals)}
+        if out_cnt is not None:
+            out[out_cnt] = pa.array(counts.astype(np.int64))
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_bkt, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(kern, batch_format="pyarrow")
+    )
+
+
+def _semi_join_int(
+    occ: "rd.Dataset",
+    keys: "rd.Dataset",
+    occ_col: str,
+    key_col: str,
+    occ_schema: pa.Schema,
+    broadcast_max: int = BROADCAST_MAX_KEYS,
+) -> "rd.Dataset":
+    """occ rows whose occ_col appears in keys (exact, duplicate-preserving
+    on the occ side; keys are distinct). Size-gated: broadcast-searchsorted
+    fast path vs bucketed partitioned join."""
+    import ray
+
+    keys_mat = keys.materialize()
+    if keys_mat.count() <= broadcast_max:
+        arr = np.sort(keys_mat.to_pandas()[key_col].to_numpy())
+        ref = ray.put(arr)
+
+        def member(t: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            v = t[occ_col].to_numpy(zero_copy_only=False)
+            if len(k) == 0:
+                return t.slice(0, 0)
+            idx = np.searchsorted(k, v)
+            hit = (idx < len(k)) & (k[np.minimum(idx, len(k) - 1)] == v)
+            return t.filter(pa.array(hit))
+
+        return occ.map_batches(member, batch_format="pyarrow")
+
+    from .join import bucket_join
+
+    return bucket_join(
+        occ, keys_mat, left_on=occ_col, right_on=key_col,
+        left_schema=occ_schema,
+        right_schema=pa.schema([(key_col, pa.int64())]),
+    )
 
 
 def _explode_grams(n: int, id_col: str, text_col: str):
@@ -85,6 +175,32 @@ def _explode_grams(n: int, id_col: str, text_col: str):
     return f
 
 
+def _left_count_join(
+    tot: "rd.Dataset",
+    per_doc: "rd.Dataset",
+    id_col: str,
+    count_col: str,
+    broadcast_max: int = BROADCAST_MAX_KEYS,
+) -> "rd.Dataset":
+    """totals LEFT JOIN per-doc counts; small count tables broadcast."""
+    per_mat = per_doc.materialize()
+    if per_mat.count() <= broadcast_max:
+        from .join import broadcast_join
+
+        return broadcast_join(
+            tot, per_mat.to_pandas(), left_on=id_col, right_on="g_doc_id",
+            how="left",
+        )
+    from .join import bucket_join
+
+    return bucket_join(
+        tot, per_mat, left_on=id_col, right_on="g_doc_id", how="left",
+        left_schema=pa.schema([(id_col, pa.int64()), ("n_grams", pa.int64())]),
+        right_schema=pa.schema([("g_doc_id", pa.int64()),
+                                (count_col, pa.int64())]),
+    )
+
+
 def duplicate_span_stats(
     ds: "rd.Dataset",
     n: int = 8,
@@ -103,26 +219,19 @@ def duplicate_span_stats(
         batch_format="pyarrow", batch_size=4096,
     )
 
-    census = grams.groupby("gram_h").aggregate(Count(alias_name="n_occ"))
-    dup_keys = census.map_batches(
-        lambda t: pa.table(
-            {"dup_h": t.filter(
-                pc.greater_equal(t["n_occ"], pa.scalar(min_count))
-            )["gram_h"]}
-        ),
-        batch_format="pyarrow",
+    grams = grams.materialize()  # used twice: census build + semi-join probe
+    dup_keys = _bucketed_value_counts(
+        grams, "gram_h", "dup_h", None, min_count=min_count
     )
 
-    from .join import bucket_join
-
-    dup_occ = bucket_join(
-        grams, dup_keys, left_on="gram_h", right_on="dup_h",
-        left_schema=pa.schema([("gram_h", pa.int64()),
-                               ("g_doc_id", pa.int64())]),
-        right_schema=pa.schema([("dup_h", pa.int64())]),
+    dup_occ = _semi_join_int(
+        grams, dup_keys, "gram_h", "dup_h",
+        occ_schema=pa.schema([("gram_h", pa.int64()),
+                              ("g_doc_id", pa.int64())]),
     )
-    per_doc_dup = dup_occ.groupby("g_doc_id").aggregate(
-        Count(alias_name="n_dup_grams")
+    per_doc_dup = _bucketed_value_counts(
+        dup_occ.select_columns(["g_doc_id"]), "g_doc_id",
+        "g_doc_id", "n_dup_grams",
     )
 
     def totals(t: pa.Table) -> pa.Table:
@@ -135,12 +244,7 @@ def duplicate_span_stats(
         )
 
     tot = ds.map_batches(totals, batch_format="pyarrow", batch_size=8192)
-    joined = bucket_join(
-        tot, per_doc_dup, left_on=id_col, right_on="g_doc_id", how="left",
-        left_schema=pa.schema([(id_col, pa.int64()), ("n_grams", pa.int64())]),
-        right_schema=pa.schema([("g_doc_id", pa.int64()),
-                                ("n_dup_grams", pa.int64())]),
-    )
+    joined = _left_count_join(tot, per_doc_dup, id_col, "n_dup_grams")
 
     def finish(t: pa.Table) -> pa.Table:
         nd = pc.fill_null(t["n_dup_grams"], 0)
@@ -180,30 +284,24 @@ def contamination_stats(
 
     Output: (doc_id, n_grams, n_hit_grams, hit_frac_permille) per test doc.
     """
-    from .join import bucket_join
-
     tr_grams = train.map_batches(
         _explode_grams(n, id_col, text_col),
         batch_format="pyarrow", batch_size=4096,
     )
-    train_keys = tr_grams.groupby("gram_h").aggregate(
-        Count(alias_name="n_occ")
-    ).map_batches(
-        lambda t: pa.table({"tr_h": t["gram_h"]}), batch_format="pyarrow"
-    )
+    train_keys = _bucketed_value_counts(tr_grams, "gram_h", "tr_h", None)
 
     te_grams = test.map_batches(
         _explode_grams(n, id_col, text_col),
         batch_format="pyarrow", batch_size=4096,
     )
-    hits = bucket_join(
-        te_grams, train_keys, left_on="gram_h", right_on="tr_h",
-        left_schema=pa.schema([("gram_h", pa.int64()),
-                               ("g_doc_id", pa.int64())]),
-        right_schema=pa.schema([("tr_h", pa.int64())]),
+    hits = _semi_join_int(
+        te_grams, train_keys, "gram_h", "tr_h",
+        occ_schema=pa.schema([("gram_h", pa.int64()),
+                              ("g_doc_id", pa.int64())]),
     )
-    per_doc_hit = hits.groupby("g_doc_id").aggregate(
-        Count(alias_name="n_hit_grams")
+    per_doc_hit = _bucketed_value_counts(
+        hits.select_columns(["g_doc_id"]), "g_doc_id",
+        "g_doc_id", "n_hit_grams",
     )
 
     def totals(t: pa.Table) -> pa.Table:
@@ -216,12 +314,7 @@ def contamination_stats(
         )
 
     tot = test.map_batches(totals, batch_format="pyarrow", batch_size=8192)
-    joined = bucket_join(
-        tot, per_doc_hit, left_on=id_col, right_on="g_doc_id", how="left",
-        left_schema=pa.schema([(id_col, pa.int64()), ("n_grams", pa.int64())]),
-        right_schema=pa.schema([("g_doc_id", pa.int64()),
-                                ("n_hit_grams", pa.int64())]),
-    )
+    joined = _left_count_join(tot, per_doc_hit, id_col, "n_hit_grams")
 
     def finish(t: pa.Table) -> pa.Table:
         nh = pc.cast(pc.fill_null(t["n_hit_grams"], 0), pa.int64())

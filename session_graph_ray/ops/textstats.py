@@ -150,40 +150,77 @@ def quality_scores(ds: "ray.data.Dataset", concurrency: int = 4) -> "ray.data.Da
 
 def rolling_fingerprint(
     ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
-    window: int = 8, base: int = 257, mod: int = (1 << 61) - 1,
+    window: int = 8,
 ) -> "ray.data.Dataset":
-    """Deterministic document fingerprint: min over a rolling polynomial hash
-    of word windows (a winnowing-style sketch, one uint64 per doc)."""
+    """Deterministic document fingerprint: min over polynomial hashes of all
+    word windows (a winnowing-style sketch, one u64-hex per doc).
+
+    Vectorized across the whole batch: one RE2 split, each DISTINCT token
+    hashed once (dictionary encode), window hashes via an n-term polynomial
+    combine mod 2^64, per-doc min with ``np.minimum.at``. Docs shorter than
+    ``window`` hash their full token span as one window (computed in the
+    same masked vector pass); empty docs fingerprint to 0.
+    """
+    import pyarrow.compute as _pc
+
+    from ..functions.hashing import hash64_np
+    from ..functions.minhash import mix64
+
+    P = np.uint64(0x100000001B3)
 
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        fps = []
-        for t in texts:
-            words = [w.lower() for w in _WORD_RE.findall(t or "")]
-            if not words:
-                fps.append(0)
-                continue
-            import zlib
+        texts = batch.column(text_col)
+        n_rows = len(batch)
+        lists = _pc.split_pattern_regex(
+            _pc.utf8_lower(_pc.fill_null(texts, "")), r"[^\p{L}\p{N}_]+"
+        )
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        lengths = _pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+        keep = _pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        row_ids = row_ids[keep]
+        lengths = np.bincount(row_ids, minlength=n_rows).astype(np.int64)
 
-            vals = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
-            if len(vals) < window:
-                h = 0
-                for v in vals:
-                    h = (h * base + int(v)) % mod
-                fps.append(h)
-                continue
-            hashes = []
-            h = 0
-            pw = pow(base, window - 1, mod)
-            for i, v in enumerate(vals):
-                h = (h * base + int(v)) % mod
-                if i >= window - 1:
-                    hashes.append(h)
-                    h = (h - int(vals[i - window + 1]) * pw) % mod
-            fps.append(min(hashes))
+        fp = np.zeros(n_rows, dtype=np.uint64)
+        total = len(row_ids)
+        if total:
+            enc = _pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            th = mix64(hash64_np(enc.dictionary.to_pylist()))[codes]
+            sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+            acc = np.full(n_rows, sentinel, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                if total >= window:
+                    m = total - window + 1
+                    h = np.zeros(m, dtype=np.uint64)
+                    mult = np.uint64(1)
+                    for k in range(window):
+                        h += th[k : k + m] * mult
+                        mult *= P
+                    valid = row_ids[:m] == row_ids[window - 1 :]
+                    np.minimum.at(acc, row_ids[:m][valid], mix64(h[valid]))
+                # short docs: full-span hash, one masked vector pass per slot
+                short = (lengths > 0) & (lengths < window)
+                if short.any():
+                    starts = np.cumsum(lengths) - lengths
+                    hs = np.zeros(n_rows, dtype=np.uint64)
+                    mult = np.uint64(1)
+                    for k in range(window - 1):
+                        sel = short & (lengths > k)
+                        hs[sel] += th[starts[sel] + k] * mult
+                        mult *= P
+                    acc[short] = mix64(hs[short])
+            done = acc != sentinel
+            fp[done] = acc[done]
         return pa.table(
             {id_col: batch.column(id_col),
-             "fingerprint": pa.array([f"{x:016x}" for x in fps], pa.string())}
+             "fingerprint": pa.array([f"{x:016x}" for x in fp.tolist()],
+                                     pa.string())}
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
