@@ -19,9 +19,9 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Min
 
 from ..config import ERConfig
 from ..functions.hashing import sha256_column
@@ -45,12 +45,45 @@ def exact_dedup_survivors(
 
     hash-partition + per-group-first (SURVEY.md §2.9 D1); the groupby ships
     only (text_sha, id) — content never enters the shuffle.
+
+    The reduce is a hash-bucketed ``map_groups`` running one vectorized
+    min-per-sha kernel per bucket (dictionary-encode + lexsort + run-first),
+    NOT a native ``aggregate(Min)``: with one group per distinct document,
+    Ray's aggregate pays per-group Python overhead (see
+    ops/spandedup._bucketed_value_counts — measured 24s vs <1s at 225k
+    groups). B=64 buckets bound the shuffle's group count at any corpus
+    size.
     """
-    hashed = add_text_sha(ds, text_col).select_columns(["text_sha", id_col])
+    B = 64
+
+    def prep(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import hex_to_u64
+
+        sha = sha256_column(batch.column(text_col))
+        u64 = hex_to_u64([s[:16] for s in sha.to_pylist()])
+        return pa.table(
+            {
+                "text_sha": sha,
+                id_col: batch.column(id_col),
+                "__bkt": pa.array((u64 % np.uint64(B)).astype(np.int32)),
+            }
+        )
+
+    def kern(g: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(g.column("text_sha"))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = codes[order][1:] != codes[order][:-1]
+        return pa.table({id_col: pa.array(ids[order][first])})
+
     return (
-        hashed.groupby("text_sha")
-        .aggregate(Min(id_col, alias_name=id_col))
-        .select_columns([id_col])
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=8192)
+        .groupby("__bkt")
+        .map_groups(kern, batch_format="pyarrow")
     )
 
 
