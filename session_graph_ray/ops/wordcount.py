@@ -21,7 +21,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 _TOKEN_SPLIT = r"\s+"
 
@@ -52,22 +51,42 @@ def token_frequencies(
 ) -> "rd.Dataset":
     """Global (token, n) frequency table.
 
-    Per-batch ``value_counts`` partials feed a small Sum groupby — the
+    Per-batch ``value_counts`` partials feed the reduce — the
     combiner-before-shuffle pattern (SURVEY.md §2.7 A1 scale note).
+
+    The reduce buckets partials by token hash and sums inside ONE vectorized
+    kernel per bucket (dictionary-encode + np.add.at) — a native
+    ``groupby(token).aggregate(Sum)`` would pay per-group Python overhead on
+    a web-scale vocabulary (see ops/spandedup._bucketed_value_counts).
     """
+    B = 64
 
     def partial(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64_np
+
         flat, _ = _flat_tokens(t.column(text_col))
         vc = pc.value_counts(flat)
+        toks = vc.field("values")
+        bkt = (hash64_np(toks.to_pylist()) % np.uint64(B)).astype(np.int32)
         return pa.table(
             {
-                "token": vc.field("values"),
+                "token": toks,
                 "n": pc.cast(vc.field("counts"), pa.int64()),
+                "__bkt": pa.array(bkt),
             }
         )
 
+    def kern(g: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(g.column("token"))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.add.at(sums, codes, g.column("n").to_numpy(zero_copy_only=False))
+        return pa.table({"token": enc.dictionary, "n": pa.array(sums)})
+
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
-    return parts.groupby("token").aggregate(Sum("n", alias_name="n"))
+    return parts.groupby("__bkt").map_groups(kern, batch_format="pyarrow")
 
 
 def top_k_tokens(
