@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans": A.q_doc_dup_spans,
         "doc_repetition": A.q_doc_repetition,
         "doc_contamination": A.q_doc_contamination,
+        "keyword_search": A.q_keyword_search,
+        "bm25_docs": A.q_bm25_docs,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -846,6 +848,26 @@ def oracle_sql() -> dict[str, str]:
                         THEN FLOOR(1000 * COALESCE(n_hit, 0) / (len(ts)-7))
                         ELSE 0 END AS BIGINT) AS hit_frac_permille
             FROM tk LEFT JOIN hit USING (doc_id)
+        """,
+        "keyword_search": r"""
+            WITH tk AS (SELECT doc_id,
+                               unnest(regexp_extract_all(text, '\S+')) AS tok
+                        FROM documents),
+            q AS (SELECT * FROM (VALUES (1,'table'),(1,'key'),(2,'window'),
+                                        (2,'merge'),(2,'sort'))
+                  AS v(query_id, term)),
+            h AS (SELECT q.query_id, tk.doc_id, tk.tok, COUNT(*) AS tf
+                  FROM tk JOIN q ON tk.tok = q.term
+                  GROUP BY q.query_id, tk.doc_id, tk.tok),
+            s AS (SELECT query_id, doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum,
+                         CAST(COUNT(*) AS BIGINT) AS n_terms
+                  FROM h GROUP BY query_id, doc_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY tf_sum DESC, n_terms DESC, doc_id ASC) AS rnk
+                  FROM s)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, tf_sum,
+                   n_terms, CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= 10
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -1485,3 +1485,26 @@ def q_doc_contamination(sf_dir: str) -> "rd.Dataset":
     ).map_batches(leak, batch_format="pyarrow")
 
     return contamination_stats(train, test_planted, n=8)
+
+
+_SEARCH_QUERIES = {1: ["table", "key"], 2: ["window", "merge", "sort"]}
+
+
+def q_keyword_search(sf_dir: str) -> "rd.Dataset":
+    """Integer-scored keyword search (ops/search.py): top-10 docs per query
+    by (tf_sum, n_terms, doc_id) — exact ROW_NUMBER() oracle in DuckDB."""
+    from ..ops.search import keyword_topk
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return keyword_topk(docs, _SEARCH_QUERIES, k=10)
+
+
+def q_bm25_docs(sf_dir: str) -> "rd.Dataset":
+    """Okapi BM25 top-10 per query (rows-only: float scores have no exact
+    SQL hash contract; ranking is pinned against a brute-force reference in
+    pytest). Returns (query_id, doc_id, rank) without the float score."""
+    from ..ops.search import bm25_topk
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = bm25_topk(docs, _SEARCH_QUERIES, k=10)
+    return out.select_columns(["query_id", "doc_id", "rank"])

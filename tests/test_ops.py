@@ -426,3 +426,61 @@ def test_pack_sequences_invariants():
     # FFD should keep average fill of non-oversize bins reasonably high
     normal = stats[~stats.pack_id.isin(over_bins)]
     assert normal.fill_permille.mean() > 600
+
+
+def test_keyword_topk_integer_ranking():
+    from session_graph_ray.ops.search import keyword_topk
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "apple banana apple cherry"},
+            {"doc_id": 2, "text": "apple apple apple"},
+            {"doc_id": 3, "text": "banana cherry banana"},
+            {"doc_id": 4, "text": "nothing relevant here"},
+        ]
+    )
+    out = keyword_topk(ds, {7: ["apple", "banana"]}, k=3).to_pandas()
+    out = out.sort_values("rank").reset_index(drop=True)
+    # doc1: tf=3 over 2 terms; doc2: tf=3 over 1 term; doc3: tf=2
+    assert out.doc_id.tolist() == [1, 2, 3]
+    assert out.tf_sum.tolist() == [3, 3, 2]
+    assert out.n_terms.tolist() == [2, 1, 1]
+
+
+def test_bm25_topk_matches_bruteforce():
+    import math
+
+    from session_graph_ray.ops.search import bm25_topk
+
+    rng = np.random.RandomState(5)
+    vocab = ["w%d" % i for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(5, 40)))
+             for _ in range(80)]
+    queries = {1: ["w1", "w2", "w3"], 2: ["w10", "w11"]}
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    out = bm25_topk(ds, queries, k=5).to_pandas()
+
+    # brute-force reference
+    k1, b = 1.2, 0.75
+    toks = [t.split() for t in texts]
+    N = len(toks)
+    avg = sum(len(x) for x in toks) / N
+    for qid, terms in queries.items():
+        scores = []
+        for d, tk in enumerate(toks):
+            s = 0.0
+            for term in terms:
+                tf = tk.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for x in toks if term in x)
+                idf = math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avg))
+            scores.append((d, s))
+        ref = sorted([x for x in scores if x[1] > 0],
+                     key=lambda x: (-x[1], x[0]))[:5]
+        got = out[out.query_id == qid].sort_values("rank")
+        assert got.doc_id.tolist() == [d for d, _ in ref]
+        assert np.allclose(got.score.to_numpy(), [s for _, s in ref])
