@@ -1361,10 +1361,20 @@ def q_local_supplier_revenue(sf_dir: str) -> "rd.Dataset":
         return pa.table({"o_orderkey": t["o_orderkey"],
                          "o_custkey": t["o_custkey"]})
 
-    ord_cust = hash_join(
-        orders.map_batches(o_prep, batch_format="pyarrow", batch_size=65536),
-        cust, on="o_custkey", right_on="c_custkey",
-    ).select_columns(["o_orderkey", "c_nationkey"])
+    # region-filtered customers are a ~1/5 sliver: below the same 2M-row
+    # gate they broadcast into the filtered orders scan; above it, the
+    # partitioned hash join (the 100-TB plan, where customer >> node RAM)
+    ord_filt = orders.map_batches(o_prep, batch_format="pyarrow",
+                                  batch_size=65536)
+    cust_mat = cust.materialize()
+    if cust_mat.count() <= 2_000_000:
+        ord_cust = broadcast_join(ord_filt, cust_mat.to_pandas(),
+                                  left_on="o_custkey", right_on="c_custkey")
+    else:
+        ord_cust = hash_join(ord_filt, cust_mat,
+                             on="o_custkey", right_on="c_custkey")
+    ord_cust = ord_cust.select_columns(
+        ["o_orderkey", "c_nationkey"]).materialize()
 
     li = _rp(f"{sf_dir}/lineitem.parquet",
              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
@@ -1382,17 +1392,52 @@ def q_local_supplier_revenue(sf_dir: str) -> "rd.Dataset":
         supp, left_on="l_suppkey", right_on="s_suppkey",
     ).select_columns(["l_orderkey", "s_nationkey", "revenue_c"])
 
-    both = hash_join(li_supp, ord_cust, on="l_orderkey",
-                     right_on="o_orderkey")
+    # the date+region filters collapse orders x customer to a sliver of the
+    # orders table; below 2M rows it broadcasts into the lineitem scan (one
+    # pandas merge per batch, zero lineitem shuffle) — the same size gate
+    # the ER scorer uses. Above it, the partitioned hash join is the plan.
+    if ord_cust.count() <= 2_000_000:
+        both = broadcast_join(li_supp, ord_cust.to_pandas(),
+                              left_on="l_orderkey", right_on="o_orderkey")
+    else:
+        both = hash_join(li_supp, ord_cust, on="l_orderkey",
+                         right_on="o_orderkey")
 
-    def local_only(t: pa.Table) -> pa.Table:
+    def _sum_by_nation(nk: np.ndarray, rev: np.ndarray) -> pa.Table:
+        # int64 accumulator (np.add.at), NOT bincount(weights=...): float64
+        # weights lose exactness past 2^53, which 100-TB revenue sums exceed
+        vals, inv = np.unique(nk, return_inverse=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(vals, pa.int64()),
+                "revenue_c": pa.array(sums),
+            }
+        )
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        # filter to local suppliers, then collapse the batch to <= |nations|
+        # partial-sum rows — combiner-before-reduce; the final combine is
+        # one kernel over one coalesced block (no native aggregate, whose
+        # empty partitions emit zero-column blocks and trip downstream
+        # schema unification)
         t = t.filter(pc.equal(t["s_nationkey"], t["c_nationkey"]))
-        return pa.table({"n_nationkey": t["s_nationkey"],
-                         "revenue_c": t["revenue_c"]})
+        return _sum_by_nation(
+            t["s_nationkey"].to_numpy(zero_copy_only=False),
+            t["revenue_c"].to_numpy(zero_copy_only=False),
+        )
 
-    agg = (both.map_batches(local_only, batch_format="pyarrow")
-           .groupby("n_nationkey")
-           .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+    def combine(t: pa.Table) -> pa.Table:
+        return _sum_by_nation(
+            t["n_nationkey"].to_numpy(zero_copy_only=False),
+            t["revenue_c"].to_numpy(zero_copy_only=False),
+        )
+
+    agg = (both.map_batches(local_partial, batch_format="pyarrow")
+           .repartition(1)
+           .map_batches(combine, batch_format="pyarrow",
+                        batch_size=1 << 30))
 
     names = pd.DataFrame({"n_nationkey": list(name_of), "n_name": [name_of[k] for k in name_of]})
     out = broadcast_join(agg, names, left_on="n_nationkey")
