@@ -123,12 +123,11 @@ def run_bench(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
     timed("knn_bruteforce", lambda: A.q_knn_bruteforce(sf_dir).materialize())
 
     def near_dedup():
-        import ray.data as rd
-
         from session_graph_ray.ops.dedup import near_dedup_assignments
+        from session_graph_ray.sources.parquet import read_parquet_clean
 
-        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+        docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
         return near_dedup_assignments(docs, threshold=0.8, cfg=cfg).materialize()
 
     timed("near_dedup_docs", near_dedup)
