@@ -21,7 +21,6 @@ Both operators avoid shuffling the fact table:
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import pandas as pd
