@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": A.q_doc_contamination,
         "keyword_search": A.q_keyword_search,
         "bm25_docs": A.q_bm25_docs,
+        "event_value_histogram": A.q_event_value_histogram,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -868,6 +869,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, tf_sum,
                    n_terms, CAST(rnk AS BIGINT) AS rank
             FROM r WHERE rnk <= 10
+        """,
+        # identical IEEE divide+floor on both sides -> exact count parity
+        "event_value_histogram": """
+            SELECT event_type,
+                   CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0), 19) AS BIGINT)
+                       AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, bin
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -126,3 +126,75 @@ def profile_table(
         .groupby("col")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def value_histogram(
+    ds: "ray.data.Dataset",
+    col: str,
+    bin_width: float,
+    n_bins: int,
+    key: str | None = None,
+) -> "ray.data.Dataset":
+    """Exact fixed-width histogram of a numeric column, optionally per key.
+
+    bin = min(max(floor(value / bin_width), 0), n_bins - 1) — the identical
+    IEEE double divide+floor runs in the SQL oracle, so counts match
+    exactly. Each batch collapses to <= |keys| x n_bins partial rows
+    (vectorized lexsort + run-length); the final combine is one kernel over
+    one coalesced block — constant-size exchange regardless of table size.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.minimum(np.maximum(np.floor(v / bin_width), 0.0),
+                       float(n_bins - 1)).astype(np.int64)
+        if key is not None:
+            kv = t.column(key).to_numpy(zero_copy_only=False)
+            order = np.lexsort((b, kv))
+            ks, bs = kv[order], b[order]
+            start = np.ones(len(ks), dtype=bool)
+            start[1:] = (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])
+            gid = np.cumsum(start) - 1
+            n = np.bincount(gid).astype(np.int64)
+            return pa.table(
+                {
+                    key: pa.array(ks[start]),
+                    "bin": pa.array(bs[start]),
+                    "n": pa.array(n),
+                }
+            )
+        vals, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(vals), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        if key is not None:
+            kv = t.column(key).to_numpy(zero_copy_only=False)
+            order = np.lexsort((b, kv))
+            ks, bs, ns = kv[order], b[order], n[order]
+            start = np.ones(len(ks), dtype=bool)
+            start[1:] = (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])
+            gid = np.cumsum(start) - 1
+            sums = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, dtype=np.int64)
+            np.add.at(sums, gid, ns)
+            return pa.table(
+                {
+                    key: pa.array(ks[start]),
+                    "bin": pa.array(bs[start]),
+                    "n": pa.array(sums),
+                }
+            )
+        vals, inv = np.unique(b, return_inverse=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, n)
+        return pa.table({"bin": pa.array(vals), "n": pa.array(sums)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return parts.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=1 << 30
+    )

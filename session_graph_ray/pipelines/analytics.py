@@ -1553,3 +1553,13 @@ def q_bm25_docs(sf_dir: str) -> "rd.Dataset":
     docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = bm25_topk(docs, _SEARCH_QUERIES, k=10)
     return out.select_columns(["query_id", "doc_id", "rank"])
+
+
+def q_event_value_histogram(sf_dir: str) -> "rd.Dataset":
+    """Exact 20-bin (width 25) histogram of event value per event type —
+    constant-size partials, one coalesced combine (ops/profile.py)."""
+    from ..ops.profile import value_histogram
+
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return value_histogram(ev, "value", bin_width=25.0, n_bins=20,
+                           key="event_type")

@@ -56,3 +56,20 @@ def test_profile_constant_size_partials():
     row = _col_partial("c", col)
     assert len(row["hll"]) == 4096  # constant regardless of rows
     assert row["n"] == 100_000 and row["n_null"] == 0
+
+
+def test_value_histogram_exact_and_clamped():
+    import ray.data as rd
+
+    from session_graph_ray.ops.profile import value_histogram
+
+    rows = [{"k": "a", "v": x} for x in [0.0, 24.9, 25.0, 49.9, 1000.0, -5.0]]
+    rows += [{"k": "b", "v": 12.0}]
+    out = value_histogram(rd.from_items(rows), "v", bin_width=25.0,
+                          n_bins=3, key="k").to_pandas()
+    got = {(r.k, r.bin): r.n for r in out.itertuples()}
+    # a: 0.0, 24.9 -> bin 0; 25.0, 49.9 -> bin 1; 1000 -> clamped bin 2;
+    #    -5 -> clamped bin 0
+    assert got[("a", 0)] == 3 and got[("a", 1)] == 2 and got[("a", 2)] == 1
+    assert got[("b", 0)] == 1
+    assert out.n.sum() == 7
