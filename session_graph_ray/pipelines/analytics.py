@@ -1512,13 +1512,16 @@ def q_doc_contamination(sf_dir: str) -> "rd.Dataset":
 
     def leak(t: pa.Table) -> pa.Table:
         did = t.column("doc_id").to_numpy(zero_copy_only=False)
-        take = (did + 1) % 8 == 0
-        head = t.column("head12").to_pylist()
-        txt = t.column("text").to_pylist()
-        out = [x + " " + h if m and h else x
-               for x, h, m in zip(txt, head, take)]
-        return pa.table({"doc_id": t["doc_id"],
-                         "text": pa.array(out, pa.string())})
+        take = pa.array((did + 1) % 8 == 0)
+        head = pc.fill_null(t.column("head12"), "")
+        mask = pc.and_(take, pc.not_equal(head, pa.scalar("")))
+        suffix = pc.if_else(
+            mask,
+            pc.binary_join_element_wise(pa.scalar(" "), head, ""),
+            pa.scalar(""),
+        )
+        text = pc.binary_join_element_wise(t.column("text"), suffix, "")
+        return pa.table({"doc_id": t["doc_id"], "text": text})
 
     from ..ops.join import broadcast_join
 
