@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": A.q_keyword_search,
         "bm25_docs": A.q_bm25_docs,
         "event_value_histogram": A.q_event_value_histogram,
+        "returned_item_revenue": A.q_returned_item_revenue,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -877,6 +878,18 @@ def oracle_sql() -> dict[str, str]:
                        AS bin,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY event_type, bin
+        """,
+        "returned_item_revenue": f"""
+            SELECT c_custkey, c_name, n_name,
+                   CAST(SUM({_CENTS.format(x='l_extendedprice*(1-l_discount)')})
+                        AS BIGINT) AS revenue_c
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1995-04-01'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue_c DESC, c_custkey LIMIT 20
         """,
         "knn_bruteforce": """
             WITH q AS (

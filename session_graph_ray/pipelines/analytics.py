@@ -1566,3 +1566,96 @@ def q_event_value_histogram(sf_dir: str) -> "rd.Dataset":
     ev = _rp(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return value_histogram(ev, "value", bin_width=25.0, n_bins=20,
                            key="event_type")
+
+
+def q_returned_item_revenue(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q10 shape: revenue lost to returned items per customer, one
+    quarter — orders(date sliver) broadcasts into the lineitem('R') scan,
+    per-batch int64 partial sums reduce in a custkey-bucketed vectorized
+    kernel (customer is a high-cardinality group-by: Ray's native aggregate
+    pays per-group Python overhead — see PERF.md), names join in via a
+    size-gated broadcast, global top-20 by revenue."""
+    lo, hi = (pa.scalar(np.datetime64("1995-01-01", "us")),
+              pa.scalar(np.datetime64("1995-04-01", "us")))
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        t = t.filter(m)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"]})
+
+    ord_q = orders.map_batches(o_prep, batch_format="pyarrow",
+                               batch_size=65536).materialize()
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                      "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "revenue_c": _cents(rev)})
+
+    li_r = li.map_batches(l_prep, batch_format="pyarrow", batch_size=65536)
+    if ord_q.count() <= 2_000_000:
+        joined = broadcast_join(li_r, ord_q.to_pandas(),
+                                left_on="l_orderkey", right_on="o_orderkey")
+    else:
+        joined = hash_join(li_r, ord_q, on="l_orderkey",
+                           right_on="o_orderkey")
+
+    B = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        rev = t["revenue_c"].to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(ck, return_inverse=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table(
+            {
+                "c_custkey": pa.array(vals, pa.int64()),
+                "revenue_c": pa.array(sums),
+                "__bkt": pa.array((vals % B).astype(np.int32)),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        ck = g["c_custkey"].to_numpy(zero_copy_only=False)
+        rev = g["revenue_c"].to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(ck, return_inverse=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"c_custkey": pa.array(vals, pa.int64()),
+                         "revenue_c": pa.array(sums)})
+
+    per_cust = (joined.select_columns(["o_custkey", "revenue_c"])
+                .map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+                .groupby("__bkt")
+                .map_groups(combine, batch_format="pyarrow"))
+
+    cust = _rp(f"{sf_dir}/customer.parquet",
+               columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = _rp(f"{sf_dir}/nation.parquet",
+                 columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_mat = cust.materialize()
+    if cust_mat.count() <= 2_000_000:
+        names = cust_mat.to_pandas().merge(
+            nation, left_on="c_nationkey", right_on="n_nationkey")
+        out = broadcast_join(per_cust, names[["c_custkey", "c_name", "n_name"]]
+                             .rename(columns={"c_custkey": "ck2"}),
+                             left_on="c_custkey", right_on="ck2")
+        out = out.drop_columns(["ck2"])
+    else:
+        out = hash_join(per_cust, cust_mat, on="c_custkey",
+                        right_on="c_custkey")
+    return (out.select_columns(["c_custkey", "c_name", "n_name", "revenue_c"])
+            .sort(["revenue_c", "c_custkey"], descending=[True, False])
+            .limit(20))
