@@ -905,4 +905,46 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, vec_id) <= 10
         """,
+        # BM25 in integer micro-units: each (doc, term) contribution is
+        # FLOOR(x*1e6+0.5) BEFORE the per-doc SUM on BOTH sides, so the sum
+        # is order-independent and hashes match exactly. Expressions mirror
+        # ops/search.bm25_topk's operation order token for token.
+        "bm25_docs": r"""
+            WITH tk AS (SELECT doc_id,
+                               unnest(regexp_extract_all(text, '\S+')) AS tok
+                        FROM documents),
+            dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dlen
+                   FROM tk GROUP BY doc_id),
+            st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                          GREATEST(CAST((SELECT COUNT(*) FROM tk) AS DOUBLE)
+                                   / (SELECT COUNT(*) FROM documents),
+                                   1e-9) AS avg_len),
+            q AS (SELECT * FROM (VALUES (1,'table'),(1,'key'),(2,'window'),
+                                        (2,'merge'),(2,'sort'))
+                  AS v(query_id, term)),
+            dfr AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+                    FROM tk WHERE tok IN (SELECT term FROM q) GROUP BY tok),
+            h AS (SELECT q.query_id, tk.doc_id, tk.tok,
+                         CAST(COUNT(*) AS DOUBLE) AS tf
+                  FROM tk JOIN q ON tk.tok = q.term
+                  GROUP BY q.query_id, tk.doc_id, tk.tok),
+            c AS (SELECT h.query_id, h.doc_id,
+                         FLOOR((((LN(((st.n_docs - dfr.df) + 0.5)
+                                     / (dfr.df + 0.5) + 1.0) * h.tf)
+                                 * (1.2 + 1.0))
+                                / (h.tf + 1.2 * ((1.0 - 0.75)
+                                   + ((0.75 * dl.dlen) / st.avg_len))))
+                               * 1e6 + 0.5) AS cu
+                  FROM h, st
+                  JOIN dfr ON h.tok = dfr.tok
+                  JOIN dl ON h.doc_id = dl.doc_id),
+            s AS (SELECT query_id, doc_id,
+                         CAST(SUM(cu) AS BIGINT) AS score_u
+                  FROM c GROUP BY query_id, doc_id)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_u,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_u DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM s
+            QUALIFY rank <= 10
+        """,
     }

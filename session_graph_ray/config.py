@@ -38,6 +38,12 @@ class ERConfig:
     # bucket_join path (the 10^12-row plan, where features exceed node RAM).
     feature_broadcast_limit: int = 5_000_000
 
+    # scratch dir for the consolidated-feature spill file the scorer actors
+    # (re)load in __init__ — plain-path constructor args keep the actor pool
+    # restartable (ray#53727). Single-node: /tmp is fine; multi-node: point
+    # this at cluster-visible storage (the prod analog is object storage).
+    feature_spill_dir: str = "/tmp/session_graph_ray_spill"
+
     # small-input collapse gates: below these provably-tiny volumes the
     # fixed per-round / per-shuffle costs of the distributed form dominate
     # by orders of magnitude, so the same kernel runs once, vectorized, in

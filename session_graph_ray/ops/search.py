@@ -15,8 +15,10 @@ so the whole index never materializes. Plan (both entry points):
 ``keyword_topk`` scores with integers (sum of tf over matched terms, then
 number of distinct matched terms, then doc_id asc) — exactly reproducible
 in SQL, which the ``keyword_search`` oracle checks value-for-value.
-``bm25_topk`` is the classic Okapi BM25 (k1/b), float-scored, pinned by a
-pytest against a brute-force reference instead of a SQL oracle.
+``bm25_topk`` is the classic Okapi BM25 (k1/b) with per-term contributions
+quantized to integer micro-units before summation, so it too is exactly
+SQL-reproducible (the ``bm25_docs`` oracle) and additionally pinned by a
+pytest against a brute-force reference.
 """
 
 from __future__ import annotations
@@ -190,8 +192,15 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> "rd.Dataset":
-    """Okapi BM25 top-k per query (float-scored; deterministic tie-break
-    (-score, doc_id)). idf = ln((N - df + 0.5) / (df + 0.5) + 1).
+    """Okapi BM25 top-k per query. idf = ln((N - df + 0.5) / (df + 0.5) + 1).
+
+    Scores are exact integer micro-units: each (doc, term) contribution is
+    quantized to ``floor(x*1e6 + 0.5)`` BEFORE summation, so the per-doc
+    score is order-independent and bit-reproducible in SQL — the
+    ``bm25_docs`` DuckDB oracle checks (query_id, doc_id, score_u, rank)
+    value-for-value (the doc_char_jaccard micro-unit pattern; VERDICT r2
+    #6). ``score`` = score_u / 1e6 is also returned; ranking ties break
+    (-score_u, doc_id).
 
     Corpus stats (N, avg doc len, per-term df) reduce from per-batch
     partials, then broadcast; scoring is one vectorized pass."""
@@ -232,7 +241,11 @@ def bm25_topk(
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         dl = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.float64)
         denom = tf + k1 * (1.0 - b + b * dl / max(avg_len, 1e-9))
-        contrib = idf_v[ti] * tf * (k1 + 1.0) / denom
+        # integer micro-units per (doc, term): summation order stops
+        # mattering, so the SQL oracle reproduces scores exactly
+        contrib = np.floor(
+            idf_v[ti] * tf * (k1 + 1.0) / denom * 1e6 + 0.5
+        )
         frames = []
         for qid, tidx in qts.items():
             sel = np.isin(ti, tidx)
@@ -244,28 +257,31 @@ def bm25_topk(
             start = np.ones(len(dd), dtype=bool)
             start[1:] = dd[1:] != dd[:-1]
             gid = np.cumsum(start) - 1
-            s = np.bincount(gid, weights=cc)
+            # micro-unit weights are ints <= ~1e7; float64 bincount sums
+            # them exactly (far below 2^53)
+            s = np.bincount(gid, weights=cc).astype(np.int64)
             docs = dd[start]
             # NO top-k here: the score is additive and a doc's rows may
             # split across batches — truncating a partial sum drops score.
             # Volume is bounded by (docs matching any query term) x queries.
             frames.append(
-                pd.DataFrame({"query_id": qid, "doc_id": docs, "score": s})
+                pd.DataFrame({"query_id": qid, "doc_id": docs, "score_u": s})
             )
         if not frames:
             return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
                                  "doc_id": pd.Series([], dtype=np.int64),
-                                 "score": pd.Series([], dtype=np.float64)})
+                                 "score_u": pd.Series([], dtype=np.int64)})
         return pd.concat(frames, ignore_index=True)
 
     partial = hits.map_batches(score, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        agg2 = g.groupby("doc_id", as_index=False).score.sum()
+        agg2 = g.groupby("doc_id", as_index=False).score_u.sum()
         agg2["query_id"] = g["query_id"].iloc[0]
-        agg2 = agg2.sort_values(["score", "doc_id"],
+        agg2 = agg2.sort_values(["score_u", "doc_id"],
                                 ascending=[False, True]).head(k)
+        agg2["score"] = agg2["score_u"] / 1e6
         agg2["rank"] = np.arange(1, len(agg2) + 1, dtype=np.int64)
-        return agg2[["query_id", "doc_id", "score", "rank"]]
+        return agg2[["query_id", "doc_id", "score_u", "score", "rank"]]
 
     return partial.groupby("query_id").map_groups(final)

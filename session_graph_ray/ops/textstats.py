@@ -82,10 +82,11 @@ class QualityScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
-        texts = batch.column("text")
+        # null text == empty text (the row-loop predecessor's contract);
+        # filling once up front keeps every count kernel NaN-free
+        texts = _pc.fill_null(batch.column("text"), "")
         n_rows = len(batch)
         nchars = _pc.utf8_length(texts).to_numpy(zero_copy_only=False)
-        nchars = np.nan_to_num(nchars.astype(np.float64)).astype(np.int64)
         cjk = _pc.cast(
             _pc.count_substring_regex(texts, "[一-鿿]"), pa.int64()
         ).to_numpy(zero_copy_only=False)
@@ -94,7 +95,7 @@ class QualityScorer:
         ).to_numpy(zero_copy_only=False)
 
         lists = _pc.split_pattern_regex(
-            _pc.utf8_lower(_pc.fill_null(texts, "")), r"[^\p{L}\p{N}_]+"
+            _pc.utf8_lower(texts), r"[^\p{L}\p{N}_]+"
         )
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()

@@ -1500,15 +1500,26 @@ def q_doc_contamination(sf_dir: str) -> "rd.Dataset":
 
     # plant leakage: odd docs with (doc_id+1) % 8 == 0 copy the first 12
     # tokens of train doc (doc_id-1) — that train doc exists (it's even)
-    train_head = docs.map_batches(
-        lambda t: pa.table({
-            "doc_id": t["doc_id"],
-            "head12": pc.binary_join(
-                pc.list_slice(pc.split_pattern_regex(t["text"], r"\s+"),
-                              0, 12), " "),
-        }),
-        batch_format="pyarrow",
-    )
+    def head12_batch(t: pa.Table) -> pa.Table:
+        # first 12 \S+ tokens per doc — _flat_tokens drops the empty strings
+        # a bare split_pattern_regex('\s+') keeps for leading/trailing
+        # whitespace, matching the oracle's regexp_extract_all('\S+') contract
+        from ..ops.wordcount import _flat_tokens
+
+        flat, lengths = _flat_tokens(t["text"])
+        starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+        tc = np.minimum(lengths, 12)
+        tc_starts = np.concatenate([[0], np.cumsum(tc)])
+        idx = (np.repeat(starts, tc)
+               + np.arange(tc_starts[-1]) - np.repeat(tc_starts[:-1], tc))
+        lists = pa.ListArray.from_arrays(
+            pa.array(tc_starts, pa.int32()),
+            flat.take(pa.array(idx)) if len(idx) else flat.slice(0, 0),
+        )
+        return pa.table({"doc_id": t["doc_id"],
+                         "head12": pc.binary_join(lists, " ")})
+
+    train_head = docs.map_batches(head12_batch, batch_format="pyarrow")
 
     def leak(t: pa.Table) -> pa.Table:
         did = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1548,14 +1559,15 @@ def q_keyword_search(sf_dir: str) -> "rd.Dataset":
 
 
 def q_bm25_docs(sf_dir: str) -> "rd.Dataset":
-    """Okapi BM25 top-10 per query (rows-only: float scores have no exact
-    SQL hash contract; ranking is pinned against a brute-force reference in
-    pytest). Returns (query_id, doc_id, rank) without the float score."""
+    """Okapi BM25 top-10 per query. Per-term contributions quantize to
+    integer micro-units BEFORE summation (ops/search.py), so scores are
+    order-independent and the DuckDB oracle reproduces them exactly —
+    (query_id, doc_id, score_u, rank), full value-hash parity."""
     from ..ops.search import bm25_topk
 
     docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = bm25_topk(docs, _SEARCH_QUERIES, k=10)
-    return out.select_columns(["query_id", "doc_id", "rank"])
+    return out.select_columns(["query_id", "doc_id", "score_u", "rank"])
 
 
 def q_event_value_histogram(sf_dir: str) -> "rd.Dataset":
@@ -1656,6 +1668,10 @@ def q_returned_item_revenue(sf_dir: str) -> "rd.Dataset":
     else:
         out = hash_join(per_cust, cust_mat, on="c_custkey",
                         right_on="c_custkey")
+        # nation is a 25-row dim at any scale — broadcast it onto the joined
+        # rows so this path carries n_name like the small-customer branch
+        out = broadcast_join(out, nation,
+                             left_on="c_nationkey", right_on="n_nationkey")
     return (out.select_columns(["c_custkey", "c_name", "n_name", "revenue_c"])
             .sort(["revenue_c", "c_custkey"], descending=[True, False])
             .limit(20))

@@ -77,17 +77,59 @@ class PairScorer:
             w for _n, w, _f in self.extras
         )
 
-    def _token_jaccard(self, ta: list[bytes], tb: list[bytes]) -> np.ndarray:
-        """Pre-hashed sorted-unique uint32 token sets -> exact Jaccard."""
-        out = np.zeros(len(ta))
-        for i, (a, b) in enumerate(zip(ta, tb)):
-            if not a or not b:
-                continue
-            ha = np.frombuffer(a, dtype="<u4")
-            hb = np.frombuffer(b, dtype="<u4")
-            inter = np.intersect1d(ha, hb, assume_unique=True).size
-            union = ha.size + hb.size - inter
-            out[i] = inter / union if union else 0.0
+    @staticmethod
+    def _tokens_flat(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Binary column of sorted-unique <u4 token hashes -> one flat view.
+
+        Returns (keys, row_ids, sizes): keys = pair_row << 32 | token over
+        ALL rows' tokens at once, zero-copy from the Arrow data buffer. The
+        per-row buffers are sorted-unique and rows are consecutive, so the
+        composite key array is GLOBALLY sorted — intersection against
+        another side is one vectorized searchsorted, no per-pair Python
+        (VERDICT r2 #2)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_large_binary(col.type):
+            col = col.cast(pa.binary())  # batches are block-bounded, safe
+        col = pc.fill_null(col, b"")
+        if col.offset != 0:
+            col = pa.concat_arrays([col])  # rebase slice so buffers align
+        off = col.buffers()[1]
+        byte_off = np.frombuffer(off, dtype=np.int32, count=len(col) + 1)
+        data_buf = col.buffers()[2]
+        flat = (
+            np.frombuffer(data_buf, dtype="<u4",
+                          count=int(byte_off[-1]) // 4,
+                          offset=0)
+            if data_buf is not None and byte_off[-1]
+            else np.empty(0, "<u4")
+        )
+        starts = (byte_off // 4).astype(np.int64)
+        sizes = np.diff(starts)
+        row_ids = np.repeat(np.arange(len(col), dtype=np.int64), sizes)
+        keys = (row_ids.astype(np.uint64) << np.uint64(32)) | flat.astype(
+            np.uint64
+        )
+        return keys, row_ids, sizes
+
+    def _token_jaccard(self, col_a, col_b) -> np.ndarray:
+        """Pre-hashed sorted-unique uint32 token sets -> exact Jaccard,
+        one searchsorted over (row, token) composite keys for the batch."""
+        ka, _ra, sa = self._tokens_flat(col_a)
+        kb, rb, sb = self._tokens_flat(col_b)
+        n = sa.size
+        if ka.size and kb.size:
+            pos = np.searchsorted(ka, kb)
+            hit = np.zeros(kb.size, dtype=bool)
+            ok = pos < ka.size
+            hit[ok] = ka[pos[ok]] == kb[ok]
+            inter = np.bincount(rb[hit], minlength=n).astype(np.float64)
+        else:
+            inter = np.zeros(n, np.float64)
+        union = sa + sb - inter
+        out = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+        # empty-side rows score 0 (the scalar kernel's `if not a or not b`)
+        out[(sa == 0) | (sb == 0)] = 0.0
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -109,7 +151,7 @@ class PairScorer:
             .to_numpy(zero_copy_only=False)
         )
         tj = self._token_jaccard(
-            batch.column("tokens_a").to_pylist(), batch.column("tokens_b").to_pylist()
+            batch.column("tokens_a"), batch.column("tokens_b")
         )
 
         extra_sum = np.zeros(n)
@@ -173,29 +215,49 @@ def _empty_scores() -> pa.Table:
 
 
 @ray.remote(num_cpus=1)
-def _consolidate_features(refs: list) -> pa.Table:
-    """Concat + id-sort the compact feature blocks OFF the driver; the result
-    lives once in plasma and every scorer actor maps it zero-copy."""
+def _consolidate_features(refs: list, spill_dir: str) -> str:
+    """Concat + id-sort the compact feature blocks OFF the driver, then
+    spill ONE parquet file and return its path.
+
+    Scorer actors rebuild their index from the FILE in ``__init__``, so a
+    restarted actor needs nothing from the object store — constructor
+    ObjectRefs make Ray Data actor restarts fail (ray#53727; VERDICT r2 #3).
+    On a multi-node cluster ``cfg.feature_spill_dir`` must point at
+    cluster-visible scratch (object storage in prod); each actor reads the
+    file once, memory-mapped."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
     tbls = [t for t in ray.get(list(refs)) if t.num_rows]
     t = pa.concat_tables(tbls).combine_chunks() if tbls else pa.table(
         {c: pa.array([], pa.uint64()) for c in ["file_id_u64"]}
     )
     order = pc.sort_indices(t, sort_keys=[("file_id_u64", "ascending")])
-    return t.take(order).combine_chunks()
+    t = t.take(order).combine_chunks()
+    os.makedirs(spill_dir, exist_ok=True)
+    path = os.path.join(spill_dir, f"feat-{uuid.uuid4().hex}.parquet")
+    pq.write_table(t, path)
+    return path
 
 
 class IndexedPairScorer(PairScorer):
     """PairScorer whose feature lookup is a vectorized binary search over the
-    id-sorted consolidated feature table (zero-copy plasma Arrow buffers
-    shared by all actors on the node; the reference's load-state-once worker
-    pattern, ``/root/reference/pipeline/llm_providers.py:65-228``).
+    id-sorted consolidated feature table (memory-mapped from the spilled
+    parquet once per actor; the reference's load-state-once worker pattern,
+    ``/root/reference/pipeline/llm_providers.py:65-228``). Constructor args
+    are PLAIN VALUES (a path), so Ray Data can restart a lost actor —
+    object-store constructor args break restarts (ray#53727).
     ``__call__`` takes a NARROW uint64 pair batch, gathers both sides' rows
     with ``np.searchsorted`` + ``Table.take``, and scores. No enrichment
     shuffle at all."""
 
-    def __init__(self, cfg: ERConfig, feat_ref):
+    def __init__(self, cfg: ERConfig, feat_path: str):
+        import pyarrow.parquet as pq
+
         super().__init__(cfg)
-        self.feat = ray.get(feat_ref)
+        self.feat = pq.read_table(feat_path, memory_map=True).combine_chunks()
         self.ids = self.feat.column("file_id_u64").to_numpy(zero_copy_only=False)
 
     def _gather(self, col: pa.ChunkedArray) -> pa.Table:
@@ -297,10 +359,14 @@ def score_pairs(
 
     # fast path: features fit the object store -> indexed scorer, no join
     if n_features <= cfg.feature_broadcast_limit:
-        feat_ref = _consolidate_features.remote(feat.to_arrow_refs())
+        feat_path = ray.get(
+            _consolidate_features.remote(
+                feat.to_arrow_refs(), cfg.feature_spill_dir
+            )
+        )
         fuzzy_scored = fuzzy_pairs.map_batches(
             IndexedPairScorer,
-            fn_constructor_args=(cfg, feat_ref),
+            fn_constructor_args=(cfg, feat_path),
             batch_format="pyarrow",
             batch_size=cfg.pair_batch_size,
             concurrency=cfg.scorer_concurrency,
