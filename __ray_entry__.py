@@ -172,7 +172,16 @@ def _q_embedding_near_dup(sf_dir: str):
     )
     emb = rd.from_arrow(pa.concat_tables([base, copies.cast(base.schema)]))
     pairs = embedding_near_dup_pairs(emb, threshold=0.95)
-    return pairs.select_columns(["id_a", "id_b"])
+    # strip the counted-truncation sentinel rows (cosine == -2) inline —
+    # one lazy filter, not split_embedding_metric_rows (that materializes
+    # the metric branch, executing the lineage twice)
+    real = pairs.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t["cosine"], pa.scalar(-1.0))
+        ),
+        batch_format="pyarrow",
+    )
+    return real.select_columns(["id_a", "id_b"])
 
 
 def _q_pack_docs(sf_dir: str):

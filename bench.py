@@ -261,7 +261,52 @@ def run_scaling() -> dict:
     }
 
 
+def run_scaling_distribution(n_draws: int) -> dict:
+    """VERDICT r2 #8: one scaling number on this shared VM swings +/-0.3, so
+    publish a DISTRIBUTION — ``n_draws`` independent draws, each one
+    interleaved (lo run, hi run, hw-ceiling probe) in fresh processes, with
+    median and min efficiency over the draws. A draw uses single runs per
+    level (no min-of-N inside a draw): the across-draw median is the noise
+    estimator here."""
+    env_single = {
+        "GRAFT_SCALING_REPS_LO": "1",
+        "GRAFT_SCALING_REPS_HI": "1",
+    }
+    draws = []
+    for i in range(n_draws):
+        os.environ.update(env_single)
+        d = run_scaling()
+        draws.append(d)
+        print(json.dumps({"draw": i + 1, **{k: d[k] for k in (
+            "value", "sec_lo", "sec_hi", "hw_ceiling_same_levels")}}),
+            file=sys.stderr, flush=True)
+    effs = sorted(d["value"] for d in draws)
+    med = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+    return {
+        "metric": "scaling_efficiency_distribution",
+        "unit": "ratio",
+        "n_draws": n_draws,
+        "value": med,
+        "median": med,
+        "min": effs[0],
+        "max": effs[-1],
+        "effs": [d["value"] for d in draws],
+        "hw_ceilings": [d["hw_ceiling_same_levels"] for d in draws],
+        "secs_lo": [d["sec_lo"] for d in draws],
+        "secs_hi": [d["sec_hi"] for d in draws],
+        "cpus_lo": draws[0]["cpus_lo"],
+        "cpus_hi": draws[0]["cpus_hi"],
+        "er_candidate_pairs": draws[0].get("er_candidate_pairs"),
+        "er_rows": draws[0].get("er_rows"),
+    }
+
+
 def main():
+    if "--scaling-dist" in sys.argv:
+        n = int(os.environ.get("GRAFT_SCALING_DRAWS", "5"))
+        print(json.dumps(run_scaling_distribution(n)))
+        return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
         return

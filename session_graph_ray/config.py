@@ -52,6 +52,12 @@ class ERConfig:
     # anything bigger and is what the bench corpus exercises.
     driver_cluster_max_edges: int = 200_000
     broadcast_assign_max_labels: int = 2_000_000
+    # incremental runs: at or below this many previous-corpus ids the
+    # old-vs-old pair drop broadcasts one sorted id array (8 B/id); above
+    # it the membership test is two bucketed left-join flag passes
+    # (ops/join.drop_both_member_pairs) — never a driver pull of a huge set
+    incremental_broadcast_max_ids: int = 2_000_000
+
     # at or below this many candidate pairs the Jaccard verifier ships the
     # candidate texts once via the object store (ids are a tiny subset of
     # the corpus) instead of running a two-sided partitioned text join

@@ -524,12 +524,11 @@ def near_dedup_incremental(
     ones), but candidate pairs whose BOTH ends are old are dropped before
     the expensive text-fetch-and-Jaccard verification — the previous star
     edges stand in for them, so per increment the verification cost is
-    O(new x corpus overlap), not O(corpus^2). The old-id set broadcast and
-    its big-corpus semi-join alternative follow
-    ``pipelines/er_incremental.py``'s documented trade-off."""
+    O(new x corpus overlap), not O(corpus^2). The old-vs-old drop is
+    size-gated (``ops.join.drop_both_member_pairs``): broadcast below
+    ``cfg.incremental_broadcast_max_ids`` previous rows, bucketed left-join
+    flags above it."""
     import pyarrow.compute as pc
-
-    import ray
 
     from ..config import auto_config
     from .pairing import split_metric_rows
@@ -547,38 +546,33 @@ def near_dedup_incremental(
     prev_star = prev_assignments.map_batches(
         star_u64, batch_format="pyarrow"
     ).materialize()
-    prev_ids = np.sort(
-        np.concatenate(
-            [
-                b["id_a"]
-                for b in prev_star.select_columns(["id_a"]).iter_batches(
-                    batch_format="numpy"
-                )
-            ]
-        ).astype(np.uint64)
-        if prev_star.count()
-        else np.array([], dtype=np.uint64)
-    )
-    prev_ref = ray.put(prev_ids)
+    n_prev = prev_star.count()
 
     cand = minhash_candidate_pairs(docs, id_col, text_col, cfg).materialize()
     n_cand = cand.count()
     cand, _metrics = split_metric_rows(cand, cfg)
 
-    def touching_new(t: pa.Table) -> pa.Table:
-        old = ray.get(prev_ref)
-        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        both_old = np.isin(a, old) & np.isin(b, old)
-        return t.filter(pa.array(~both_old))
+    # drop pairs whose BOTH ends were already clustered: covered by the
+    # previous star edges. Size-gated (broadcast vs bucketed left-join flags
+    # — ops.join.drop_both_member_pairs), so a 10^9-row previous corpus
+    # never pulls through the driver.
+    from .join import drop_both_member_pairs
+    from .pairing import PAIRS_SCHEMA
 
-    new_cand = cand.map_batches(touching_new, batch_format="pyarrow")
+    members = prev_star.select_columns(["id_a"]).map_batches(
+        lambda t: pa.table({"member_id": t.column("id_a")}),
+        batch_format="pyarrow",
+    )
+    new_cand = drop_both_member_pairs(
+        cand, members, n_prev, PAIRS_SCHEMA,
+        broadcast_max=cfg.incremental_broadcast_max_ids,
+    )
     new_edges = _candidate_edges(
         new_cand, docs, threshold, id_col, text_col, cfg, n_cand
     )
     edges = new_edges.union(prev_star)
     return _edges_to_assignments(
-        docs, edges, id_col, cfg, n_labels_ub=2 * (n_cand + int(len(prev_ids)))
+        docs, edges, id_col, cfg, n_labels_ub=2 * (n_cand + int(n_prev))
     )
 
 
@@ -644,29 +638,32 @@ def embedding_near_dup_pairs(
     bounds each groupby partition; brute force only within buckets, and a
     degenerate bucket (e.g. many zero-ish vectors hashing together) is
     chunked at ``bucket_cap`` members — all pairs within each sorted-id
-    chunk, cross-chunk pairs skipped (bounded O(n*cap) worst case; same
-    capped-block discipline as ops.pairing, which near-identical vectors
-    mostly survive because every chunk is checked exhaustively)."""
-    import pandas as pd
+    chunk AND across each ADJACENT chunk pair (bounded O(n*cap) worst
+    case). Pairs spanning >= 2 chunk cuts are never examined; their count
+    is emitted as a sentinel metric row (id_a = -1, id_b = skipped count,
+    cosine = -2.0) per over-cap bucket — the counted-truncation house rule
+    (ops/pairing.py ROUTE_METRIC; VERDICT r2 #7). Strip sentinels with
+    :func:`split_embedding_metric_rows`. Vectors read zero-copy
+    (similarity._vecs_np) and travel as FixedSizeList — no per-row Python.
+    """
+    from .similarity import _fixed_list, _unit, _vecs_np
 
     def bucketize_factory():
         state = {}
 
         def f(batch: pa.Table) -> pa.Table:
-            vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            vecs = _vecs_np(batch.column(vec_col))
             if "planes" not in state:
                 rng = np.random.RandomState(seed)
                 state["planes"] = rng.randn(vecs.shape[1], n_planes)
             signs = (vecs @ state["planes"]) > 0
             bucket = np.packbits(signs, axis=1, bitorder="little")[:, :2]
             bkt = (bucket[:, 0].astype(np.int64) << 8) | bucket[:, 1].astype(np.int64) if bucket.shape[1] > 1 else bucket[:, 0].astype(np.int64)
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            unit = vecs / np.maximum(norms, 1e-12)
             return pa.table(
                 {
                     id_col: batch.column(id_col),
                     "bucket": pa.array(bkt, pa.int64()),
-                    "unit": pa.array(list(unit), pa.list_(pa.float64())),
+                    "unit": _fixed_list(_unit(vecs)),
                 }
             )
 
@@ -674,31 +671,77 @@ def embedding_near_dup_pairs(
 
     bucketed = ds.map_batches(bucketize_factory(), batch_format="pyarrow")
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(g[id_col].to_numpy())
-        ids_all = g[id_col].to_numpy()[order]
-        mat_all = np.asarray(g["unit"].tolist(), dtype=np.float64)[order]
-        outs = []
-        for s in range(0, len(ids_all), bucket_cap):
-            ids = ids_all[s : s + bucket_cap]
-            mat = mat_all[s : s + bucket_cap]
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        raw = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(raw)
+        ids_all = raw[order].astype(np.int64)
+        mat_all = _vecs_np(g.column("unit"))[order]
+        n = len(ids_all)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+
+        def emit(ia: np.ndarray, ib: np.ndarray, sims: np.ndarray) -> None:
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_c.append(sims)
+
+        prev_s = prev_e = None
+        for s in range(0, n, bucket_cap):
+            e = min(s + bucket_cap, n)
+            ids = ids_all[s:e]
+            mat = mat_all[s:e]
             sims = mat @ mat.T
-            iu = np.triu_indices(len(ids), k=1)
+            iu = np.triu_indices(e - s, k=1)
             mask = sims[iu] >= threshold
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "id_a": np.minimum(ids[iu[0]][mask], ids[iu[1]][mask]),
-                        "id_b": np.maximum(ids[iu[0]][mask], ids[iu[1]][mask]),
-                        "cosine": sims[iu][mask],
-                    }
-                )
+            emit(ids[iu[0][mask]], ids[iu[1][mask]], sims[iu][mask])
+            if prev_s is not None:
+                cross = mat_all[prev_s:prev_e] @ mat.T
+                pi, cj = np.nonzero(cross >= threshold)
+                emit(ids_all[prev_s:prev_e][pi], ids[cj], cross[pi, cj])
+            prev_s, prev_e = s, e
+        if n > bucket_cap:
+            sizes = np.diff(np.r_[np.arange(0, n, bucket_cap), n])
+            skipped = (
+                n * (n - 1) // 2
+                - int((sizes * (sizes - 1) // 2).sum())
+                - int((sizes[:-1] * sizes[1:]).sum())
             )
-        from .util import pd_to_arrow
-
-        out = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
-            {"id_a": [], "id_b": [], "cosine": []}
+            if skipped > 0:
+                emit(np.array([-1]), np.array([skipped]), np.array([-2.0]))
+        if not out_a:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine": pa.array(
+                    np.concatenate(out_c).astype(np.float64), pa.float64()
+                ),
+            }
         )
-        return pd_to_arrow(out)
 
-    return bucketed.groupby("bucket").map_groups(verify_bucket, batch_format="pandas")
+    return bucketed.groupby("bucket").map_groups(
+        verify_bucket, batch_format="pyarrow"
+    )
+
+
+def split_embedding_metric_rows(
+    pairs: "ray.data.Dataset",
+) -> tuple["ray.data.Dataset", "pa.Table"]:
+    """Split :func:`embedding_near_dup_pairs` output into (real pairs,
+    driver-side metric table). Sentinel rows carry cosine == -2.0 (real
+    cosines are >= -1); id_b holds the per-bucket skipped-pair count."""
+    real = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cosine"], pa.scalar(-1.0))),
+        batch_format="pyarrow",
+    )
+    metrics = pairs.map_batches(
+        lambda t: t.filter(pc.less(t["cosine"], pa.scalar(-1.0))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return real, metrics

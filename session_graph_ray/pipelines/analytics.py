@@ -481,30 +481,44 @@ def q_events_sliding_window(sf_dir: str, window_rows: int = 3) -> "rd.Dataset":
     )
 
 
+class _JsonKExtractor:
+    """Actor-pool JSON-field extractor: one DuckDB connection per actor
+    (T1 house pattern), ONE vectorized ``json_extract_string`` projection
+    per batch — no per-row ``json.loads`` (VERDICT r2 #10). A malformed or
+    null blob contributes null, never a task failure (M10 discipline:
+    ``json_valid`` gate + ``try_cast``)."""
+
+    def __init__(self):
+        import duckdb
+
+        self.con = duckdb.connect()
+        self.con.execute("SET threads TO 1")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        self.con.register("b", t)
+        out = self.con.execute(
+            """SELECT event_type,
+                      CASE WHEN json_valid(props)
+                           THEN try_cast(json_extract_string(props, '$.k')
+                                         AS BIGINT) END AS k
+               FROM b"""
+        ).arrow()
+        self.con.unregister("b")
+        return out
+
+
 def q_event_props_stats(sf_dir: str) -> "rd.Dataset":
     """JSON-blob field extraction (reference M4: Warp stores JSON inside SQL
     columns and the reader parses ``input`` JSON per row,
-    ``/root/reference/pipeline/warp_to_rdf.py:89-112``): parse ``props``,
-    pull the numeric field, grouped aggregate. Robust per-row parse — a bad
-    blob contributes null, never a task failure (M10 discipline)."""
-    import json
-
+    ``/root/reference/pipeline/warp_to_rdf.py:89-112``): extract ``$.k``
+    with the same DuckDB expression the oracle runs (parity by
+    construction), grouped aggregate."""
     ev = _rp(f"{sf_dir}/events.parquet",
                          columns=["event_type", "props"])
 
-    def extract(t: pa.Table) -> pa.Table:
-        out = []
-        for s in t.column("props").to_pylist():
-            try:
-                out.append(int(json.loads(s)["k"]))
-            except (TypeError, ValueError, KeyError):
-                out.append(None)
-        return pa.table(
-            {"event_type": t["event_type"], "k": pa.array(out, pa.int64())}
-        )
-
     return (
-        ev.map_batches(extract, batch_format="pyarrow", batch_size=65536)
+        ev.map_batches(_JsonKExtractor, batch_format="pyarrow",
+                       batch_size=65536, concurrency=2, num_cpus=1)
         .groupby("event_type")
         .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
     )

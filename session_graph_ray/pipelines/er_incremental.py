@@ -17,17 +17,18 @@ over each old component, so
         == components(all_edges)
 
 and the incremental result equals the from-scratch run bit-for-bit (asserted
-in tests). Cost model: blocking re-derives keys over the full corpus (cheap,
-streaming, no content shuffled) but SCORING — the expensive stage — runs only
-on pairs with at least one new member, so work scales with the increment. The
-100-TB refinement is caching the exploded-key census per input partition in
-the checkpoint store so even the key scan is delta-only; the scoring and
-clustering deltas below are already increment-sized.
+in tests). Cost model: SCORING — the expensive stage — runs only on pairs
+with at least one new member, and with ``key_cache_dir`` set the blocking
+keys and normalized features are ALSO delta-only (file-grain cache,
+``state/filecache.py``): an increment derives them only for input files
+never seen before, so every scan stage scales with the increment. The
+old-vs-old pair drop is size-gated (``ops.join.drop_both_member_pairs``):
+small prev-id sets broadcast once, huge ones go through bucketed left-join
+flags — no driver pull of a 10^9-row id set.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 import ray
@@ -56,14 +57,32 @@ def _prev_star_u64(prev_assignments: "ray.data.Dataset") -> "ray.data.Dataset":
     return prev_assignments.map_batches(conv, batch_format="pyarrow")
 
 
+def _blocking_cfg_fp(cfg: ERConfig) -> str:
+    """Fingerprint of every cfg field the cached per-file tables depend on."""
+    return (
+        f"{cfg.minhash_num_perm}|{cfg.minhash_bands}|{cfg.minhash_seed}|"
+        f"{cfg.shingle_k}|{cfg.content_token_cap}|{cfg.blocking_keys}"
+    )
+
+
 def run_er_incremental(
     corpus_path: str,
     prev_assignments: "ray.data.Dataset",
     cfg: ERConfig | None = None,
+    key_cache_dir: str | None = None,
 ) -> ERResult:
     """Cluster the full corpus at ``corpus_path`` given ``prev_assignments``
     (the hex assignments output of an earlier run over a SUBSET of it).
     Returns a full ERResult whose ``assignments`` equal a from-scratch run.
+
+    ``key_cache_dir``: optional file-grain cache root
+    (``state.filecache.FileGrainCache``). When set, blocking keys AND
+    normalized features are derived only for input files never seen before —
+    an increment's scan cost is proportional to the increment, not the
+    corpus (the reference's watermark skip,
+    ``/root/reference/pipeline/bulk_process.py:83-99``, at derived-table
+    grain). Both stages are pure per-row functions of one file + cfg, the
+    contract file-grain reuse needs.
     """
     if cfg is None:
         from ..config import auto_config
@@ -71,41 +90,65 @@ def run_er_incremental(
         cfg = auto_config()
 
     prev_star = _prev_star_u64(prev_assignments).materialize()
-    prev_ids = np.sort(
-        np.concatenate(
-            [
-                b["id_a"]
-                for b in prev_star.select_columns(["id_a"]).iter_batches(
-                    batch_format="numpy"
-                )
-            ]
-        ).astype(np.uint64)
-        if prev_star.count()
-        else np.array([], dtype=np.uint64)
-    )
-    # The old-id set is driver-held and broadcast once. It is the PREVIOUS
-    # corpus's id column (8 bytes/row) — at 10^9 prev rows that is 8 GB and
-    # this sorted-array form still works on a big driver; beyond that the
-    # same membership test becomes a bucketed semi-join (ops/join.bucket_join
-    # on id % B), trading one shuffle of (id) pairs for the broadcast.
-    prev_ref = ray.put(prev_ids)
+    n_prev = prev_star.count()
 
-    corpus = ray.data.read_parquet(
-        corpus_path, override_num_blocks=max(8, (cfg.scorer_concurrency + 1) * 2)
-    )
-    features = features_view(normalize(corpus, batch_size=cfg.batch_size)).materialize()
+    cache_metrics: dict = {}
+    if key_cache_dir is not None:
+        from ..sources.paths import filtered_paths
+        from ..stages.blocking import derive_block_keys
+        from ..state.filecache import FileGrainCache
 
-    pairs_raw = candidate_pairs(normalize_core(corpus, batch_size=cfg.batch_size), cfg)
+        files = filtered_paths(corpus_path)
+        cache = FileGrainCache(key_cache_dir)
+        cfg_fp = _blocking_cfg_fp(cfg)
+        keys, km = cache.dataset(
+            files, "block_keys", cfg_fp,
+            lambda p: derive_block_keys(
+                normalize_core(ray.data.read_parquet(p),
+                               batch_size=cfg.batch_size),
+                cfg,
+            ),
+        )
+        feats, fm = cache.dataset(
+            files, "features", cfg_fp,
+            lambda p: features_view(
+                normalize(ray.data.read_parquet(p), batch_size=cfg.batch_size)
+            ),
+        )
+        features = feats.materialize()
+        from ..ops.pairing import pairs_from_keys
+
+        pairs_raw = pairs_from_keys(keys.materialize(), cfg).repartition(
+            max(cfg.scorer_concurrency * 4, cfg.join_partitions * 2)
+        )
+        cache_metrics = {"block_keys": km, "features": fm}
+    else:
+        corpus = ray.data.read_parquet(
+            corpus_path,
+            override_num_blocks=max(8, (cfg.scorer_concurrency + 1) * 2),
+        )
+        features = features_view(
+            normalize(corpus, batch_size=cfg.batch_size)
+        ).materialize()
+        pairs_raw = candidate_pairs(
+            normalize_core(corpus, batch_size=cfg.batch_size), cfg
+        )
     pairs_all, blocking_metrics = split_metric_rows(pairs_raw, cfg)
 
-    def touching_new(t: pa.Table) -> pa.Table:
-        old = ray.get(prev_ref)
-        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        both_old = np.isin(a, old) & np.isin(b, old)
-        return t.filter(pa.array(~both_old))
+    # drop pairs whose BOTH ends are previously-clustered ids: their edges
+    # are covered by prev_star. Size-gated membership — broadcast below the
+    # gate, bucketed left-join flags above it (no driver pull of a huge set).
+    from ..ops.join import drop_both_member_pairs
+    from ..ops.pairing import PAIRS_SCHEMA
 
-    pairs = pairs_all.map_batches(touching_new, batch_format="pyarrow").materialize()
+    members = prev_star.select_columns(["id_a"]).map_batches(
+        lambda t: pa.table({"member_id": t.column("id_a")}),
+        batch_format="pyarrow",
+    )
+    pairs = drop_both_member_pairs(
+        pairs_all, members, n_prev, PAIRS_SCHEMA,
+        broadcast_max=cfg.incremental_broadcast_max_ids,
+    ).materialize()
 
     n_feat = features.count()
     scores = score_pairs(pairs, features, cfg, n_features=n_feat).materialize()
@@ -128,8 +171,9 @@ def run_er_incremental(
         metrics={
             "blocking": blocking_metrics,
             "incremental": {
-                "prev_rows": int(len(prev_ids)),
+                "prev_rows": int(n_prev),
                 "pairs_scored": pairs.count(),
+                **cache_metrics,
             },
         },
     )

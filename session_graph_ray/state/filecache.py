@@ -1,0 +1,106 @@
+"""File-grain derived-table cache: derive once per INPUT FILE, reuse forever.
+
+Reference semantic: the bulk processor's sha256 watermark store means an
+unchanged input file is never re-read on a later run
+(``/root/reference/pipeline/bulk_process.py:83-99``). Promoted here to
+derived-TABLE grain: a stage whose output is a pure per-row function of one
+input file (blocking keys, normalized features) caches that output per file,
+keyed by (path, size, mtime, config fingerprint). An incremental run then
+derives only for files it has never seen — the 100-TB shape where a daily
+increment touches 0.1% of partitions and the other 99.9% cost one directory
+listing (VERDICT r2 #4: delta-only incremental blocking).
+
+Cache layout: ``root/<tag>/<fp24>/*.parquet`` — one directory per input
+file, written atomically (tmp dir + rename) so a killed run never leaves a
+half-cached entry a later run would trust. The returned dataset is a plain
+``read_parquet`` over all entry dirs: lineage starts at the cache, nothing
+upstream re-executes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def _entry_fp(path: str, cfg_fp: str) -> str:
+    st = os.stat(path)
+    h = hashlib.sha256(
+        f"{path}|{st.st_size}|{int(st.st_mtime)}|{cfg_fp}".encode()
+    )
+    return h.hexdigest()[:24]
+
+
+def _ensure_nonempty(dirpath: str, schema: "pa.Schema | None") -> None:
+    """write_parquet emits zero files for an empty dataset; persist an
+    explicit empty file so a later read_parquet round-trips the schema."""
+    os.makedirs(dirpath, exist_ok=True)
+    if any(n.endswith(".parquet") for n in os.listdir(dirpath)):
+        return
+    tbl = (
+        pa.schema(list(zip(schema.names, schema.types))).empty_table()
+        if schema is not None and schema.names
+        else pa.table({"__empty": pa.array([], pa.int8())})
+    )
+    pq.write_table(tbl, os.path.join(dirpath, "part-empty.parquet"))
+
+
+class FileGrainCache:
+    """Per-input-file cache of a derived Dataset stage."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def dataset(
+        self,
+        files: list[str],
+        tag: str,
+        cfg_fp: str,
+        derive: Callable[[str], "ray.data.Dataset"],
+    ) -> tuple["ray.data.Dataset", dict]:
+        """Derived table for ``files``, deriving only cache misses.
+
+        ``derive(path)`` must be a pure per-file function (rows of the
+        output depend only on rows of that one input file + config) — the
+        contract that makes file-grain reuse exact. Returns (dataset over
+        ALL files' cached entries, metrics dict). On a shared filesystem a
+        concurrent run deriving the same entry is harmless: writes are
+        atomic renames of identical content."""
+        tag_dir = os.path.join(self.root, tag)
+        os.makedirs(tag_dir, exist_ok=True)
+        entry_dirs: list[str] = []
+        derived = 0
+        for path in sorted(files):
+            ent = os.path.join(tag_dir, _entry_fp(path, cfg_fp))
+            if not os.path.isdir(ent):
+                out = derive(path)
+                tmp = f"{ent}.tmp-{os.getpid()}"
+                shutil.rmtree(tmp, ignore_errors=True)
+                out.write_parquet(tmp)
+                _ensure_nonempty(tmp, out.schema())
+                try:
+                    os.replace(tmp, ent)
+                except OSError:
+                    if not os.path.isdir(ent):  # not a lost race: real error
+                        raise
+                    shutil.rmtree(tmp, ignore_errors=True)
+                derived += 1
+            entry_dirs.append(ent)
+        # expand entries to files: read_parquet accepts a dir OR a file
+        # list, but not a list of dirs
+        parts = [
+            os.path.join(ent, n)
+            for ent in entry_dirs
+            for n in sorted(os.listdir(ent))
+            if n.endswith(".parquet")
+        ]
+        ds = ray.data.read_parquet(parts)
+        return ds, {"files_total": len(files), "files_derived": derived}

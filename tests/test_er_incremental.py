@@ -75,3 +75,67 @@ def test_incremental_from_empty_prev(tiny_corpus_dir):
     incr = run_er_incremental(f"{tiny_corpus_dir}/corpus", empty)
     a_full, a_incr = _sorted_assign(full.assignments), _sorted_assign(incr.assignments)
     assert (a_full.values == a_incr.values).all()
+
+
+def test_incremental_key_cache_delta_only(tiny_corpus_dir):
+    """With key_cache_dir set, an increment derives blocking keys/features
+    only for input files never seen before, and assignments still equal a
+    from-scratch run (VERDICT r2 #4)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    base = "/tmp/sgr_test_keycache"
+    shutil.rmtree(base, ignore_errors=True)
+    corpus = os.path.join(base, "corpus")
+    cache = os.path.join(base, "cache")
+    os.makedirs(corpus)
+
+    full = pq.read_table(f"{tiny_corpus_dir}/corpus")
+    keep = pd.Series(
+        [zlib.crc32(p.encode()) % 5 != 0 for p in full.column("path").to_pylist()]
+    )
+    pq.write_table(full.filter(keep.to_numpy()),
+                   os.path.join(corpus, "part-a.parquet"))
+
+    empty = rd.from_arrow(
+        pa.table({"file_id": pa.array([], pa.string()),
+                  "canonical_file_id": pa.array([], pa.string())})
+    )
+    incr1 = run_er_incremental(corpus, empty, key_cache_dir=cache)
+    m1 = incr1.metrics["incremental"]
+    assert m1["block_keys"] == {"files_total": 1, "files_derived": 1}
+    assert m1["features"] == {"files_total": 1, "files_derived": 1}
+
+    # day 2: one NEW file lands next to the unchanged old one
+    pq.write_table(full.filter((~keep).to_numpy()),
+                   os.path.join(corpus, "part-b.parquet"))
+    incr2 = run_er_incremental(corpus, incr1.assignments, key_cache_dir=cache)
+    m2 = incr2.metrics["incremental"]
+    assert m2["block_keys"] == {"files_total": 2, "files_derived": 1}
+    assert m2["features"] == {"files_total": 2, "files_derived": 1}
+
+    scratch = run_er_pipeline(corpus)
+    a_full, a_incr = _sorted_assign(scratch.assignments), _sorted_assign(
+        incr2.assignments)
+    assert (a_full.values == a_incr.values).all()
+
+
+def test_incremental_semi_join_gate(tiny_corpus_dir):
+    """Forcing incremental_broadcast_max_ids=0 routes the old-vs-old pair
+    drop through the bucketed left-join flag path; outputs are unchanged
+    (VERDICT r2 #5)."""
+    from dataclasses import replace
+
+    from session_graph_ray.config import auto_config
+
+    prev_dir, _ = _split_corpus(tiny_corpus_dir)
+    prev = run_er_pipeline(prev_dir)
+    cfg = auto_config()
+    base = run_er_incremental(f"{tiny_corpus_dir}/corpus", prev.assignments,
+                              cfg=cfg)
+    gated = run_er_incremental(
+        f"{tiny_corpus_dir}/corpus", prev.assignments,
+        cfg=replace(cfg, incremental_broadcast_max_ids=0),
+    )
+    a, b = _sorted_assign(base.assignments), _sorted_assign(gated.assignments)
+    assert (a.values == b.values).all()
