@@ -19,9 +19,11 @@ kernels, zero Python per-pair loops. DuckDB is a public, baked-in library;
 no external services are involved.
 
 Feature access (pairs carry only uint64 ids): the compact feature table is
-consolidated and sorted by id inside a REMOTE task (one plasma copy, zero
-driver-serial seconds), and every scorer actor maps it zero-copy from the
-object store, resolving both sides of each pair batch with one vectorized
+consolidated and sorted by id inside a REMOTE task (zero driver-serial
+seconds), spilled once as an uncompressed Arrow IPC file, and every scorer
+actor memory-maps that file zero-copy in ``__init__`` — restart-safe
+(ray#53727) and one page-cache copy per node — resolving both sides of each
+pair batch with one vectorized
 ``np.searchsorted`` + ``Table.take``. Above ``cfg.feature_broadcast_limit``
 rows (node-RAM bound at 10^12 scale) features join in via the partitioned
 ``bucket_join`` path instead. Pairs whose block was exact-content (route 0)
@@ -51,8 +53,9 @@ class PairScorer:
     DuckDB ``jaro_winkler_similarity`` ~1µs; ``levenshtein`` on 256 chars
     ~300µs; ``list_intersect`` on 150-token lists ~590µs. So:
 
-    - token-Jaccard runs in numpy — tokens are SORTED in normalize, so
-      intersection is crc-hash + ``np.intersect1d`` (~30µs/pair);
+    - token-Jaccard runs in numpy — tokens are SORTED-unique in normalize,
+      so the whole batch intersects in ONE searchsorted over (row, token)
+      composite keys (``_tokens_flat``), zero per-pair Python;
     - Levenshtein is LAZY: with score = w_jw*jw + w_tj*tj + w_lev*lev and
       lev ∈ [0,1], a pair whose upper bound w_jw*jw + w_tj*tj + w_lev < τ
       can never match — the bulk of same-stem garbage pairs skip the
@@ -217,7 +220,7 @@ def _empty_scores() -> pa.Table:
 @ray.remote(num_cpus=1)
 def _consolidate_features(refs: list, spill_dir: str) -> str:
     """Concat + id-sort the compact feature blocks OFF the driver, then
-    spill ONE parquet file and return its path.
+    spill ONE uncompressed Arrow IPC file and return its path.
 
     Scorer actors rebuild their index from the FILE in ``__init__``, so a
     restarted actor needs nothing from the object store — constructor
@@ -228,8 +231,6 @@ def _consolidate_features(refs: list, spill_dir: str) -> str:
     import os
     import uuid
 
-    import pyarrow.parquet as pq
-
     tbls = [t for t in ray.get(list(refs)) if t.num_rows]
     t = pa.concat_tables(tbls).combine_chunks() if tbls else pa.table(
         {c: pa.array([], pa.uint64()) for c in ["file_id_u64"]}
@@ -237,15 +238,19 @@ def _consolidate_features(refs: list, spill_dir: str) -> str:
     order = pc.sort_indices(t, sort_keys=[("file_id_u64", "ascending")])
     t = t.take(order).combine_chunks()
     os.makedirs(spill_dir, exist_ok=True)
-    path = os.path.join(spill_dir, f"feat-{uuid.uuid4().hex}.parquet")
-    pq.write_table(t, path)
+    # uncompressed Arrow IPC, not parquet: every actor memory-maps the SAME
+    # file zero-copy (one page-cache copy per node, ~zero decode at init)
+    path = os.path.join(spill_dir, f"feat-{uuid.uuid4().hex}.arrow")
+    with pa.OSFile(path, "wb") as f:
+        with pa.ipc.new_file(f, t.schema) as w:
+            w.write_table(t)
     return path
 
 
 class IndexedPairScorer(PairScorer):
     """PairScorer whose feature lookup is a vectorized binary search over the
-    id-sorted consolidated feature table (memory-mapped from the spilled
-    parquet once per actor; the reference's load-state-once worker pattern,
+    id-sorted consolidated feature table (memory-mapped zero-copy from the spilled
+    Arrow IPC file once per actor; the reference's load-state-once worker pattern,
     ``/root/reference/pipeline/llm_providers.py:65-228``). Constructor args
     are PLAIN VALUES (a path), so Ray Data can restart a lost actor —
     object-store constructor args break restarts (ray#53727).
@@ -254,10 +259,9 @@ class IndexedPairScorer(PairScorer):
     shuffle at all."""
 
     def __init__(self, cfg: ERConfig, feat_path: str):
-        import pyarrow.parquet as pq
-
         super().__init__(cfg)
-        self.feat = pq.read_table(feat_path, memory_map=True).combine_chunks()
+        src = pa.memory_map(feat_path, "r")
+        self.feat = pa.ipc.open_file(src).read_all().combine_chunks()
         self.ids = self.feat.column("file_id_u64").to_numpy(zero_copy_only=False)
 
     def _gather(self, col: pa.ChunkedArray) -> pa.Table:

@@ -96,3 +96,60 @@ def test_incremental_empty_prev_is_full_run():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(inc, full)
+
+
+def test_near_dedup_incremental_from_path_delta_keys(tmp_path):
+    """Delta-only LSH key derivation (file-grain cache): day-2 increment
+    shingles only the NEW file, and assignments equal a from-scratch run."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from session_graph_ray.ops.dedup import (
+        near_dedup_assignments,
+        near_dedup_incremental_from_path,
+    )
+
+    corpus = os.path.join(tmp_path, "docs")
+    cache = os.path.join(tmp_path, "keycache")
+    os.makedirs(corpus)
+
+    old = [
+        {"doc_id": i,
+         "text": f"the quick brown fox jumps over dog number {i} "
+                 f"with unique tail {i * 7}"}
+        for i in range(40)
+    ]
+    # two exact near-dups of old docs + brand-new docs arrive on day 2
+    new = [
+        {"doc_id": 100, "text": old[3]["text"]},
+        {"doc_id": 101, "text": old[11]["text"]},
+        {"doc_id": 102, "text": "entirely novel content nothing like before"},
+    ]
+    pq.write_table(pa.Table.from_pylist(old),
+                   os.path.join(corpus, "part-a.parquet"))
+
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "canonical_doc_id": pa.array([], pa.int64())})
+    )
+    asg1, m1 = near_dedup_incremental_from_path(
+        corpus, empty, cache, threshold=0.5
+    )
+    asg1 = asg1.materialize()
+    assert m1 == {"files_total": 1, "files_derived": 1}
+
+    pq.write_table(pa.Table.from_pylist(new),
+                   os.path.join(corpus, "part-b.parquet"))
+    asg2, m2 = near_dedup_incremental_from_path(
+        corpus, asg1, cache, threshold=0.5
+    )
+    assert m2 == {"files_total": 2, "files_derived": 1}
+
+    scratch = (
+        near_dedup_assignments(rd.from_items(old + new), threshold=0.5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = asg2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (got.values == scratch.values).all()

@@ -1,7 +1,7 @@
 """Scorer actor-pool fault tolerance (VERDICT r2 #3): SIGKILL one
 IndexedPairScorer worker mid-run and the scoring stage must still complete
 with output identical to an undisturbed run. This only holds because the
-actor's constructor args are plain values (cfg + spilled-parquet path) a
+actor's constructor args are plain values (cfg + spilled-Arrow-IPC path) a
 restarted actor can rebuild from — an object-store constructor ref makes
 Ray Data actor restarts fail (ray#53727)."""
 
