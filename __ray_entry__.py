@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_event_revenue": A.q_nation_event_revenue,
         "top_user_type_revenue": A.q_top_user_type_revenue,
         "docs_stratified_sample": A.q_docs_stratified_sample,
+        "doc_split": A.q_doc_split,
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
         "er_incremental": _q_er_incremental,
@@ -330,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "pack_docs": _q_pack_docs,
         "knn_ivf": _q_knn_ivf,
+        "knn_graph": A.q_knn_graph,
         "media_features": _q_media_features,
     }
 
@@ -899,6 +901,33 @@ def oracle_sql() -> dict[str, str]:
               AND l_returnflag = 'R' AND c_nationkey = n_nationkey
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue_c DESC, c_custkey LIMIT 20
+        """,
+        # deterministic split: the bucket hash is (k*2654435761+seed) mod
+        # 2^32 mod 100 on BOTH sides (HUGEINT avoids int64 overflow; numpy's
+        # mod-2^64 wrap preserves the mod-2^32 residue) — exact value parity
+        "doc_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         (CAST(doc_id AS HUGEINT) * 2654435761 + 7)
+                             % 4294967296 % 100 AS b
+                  FROM documents)
+        """,
+        # k-NN GRAPH: every row is a query; the oracle hashes the exact
+        # top-k cosine edge set with the same (sim DESC, neighbor_id) tie
+        # ladder the Ray kernel applies (ops/similarity.knn_graph)
+        "knn_graph": """
+            WITH sims AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     list_cosine_similarity(a.embedding, b.embedding) AS sim
+              FROM embeddings a CROSS JOIN embeddings b
+              WHERE a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, neighbor_id FROM sims
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, neighbor_id) <= 5
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -3,10 +3,12 @@
 A 100-TB pipeline samples constantly (dev subsets, eval splits, mixture
 weighting), and the sample must be REPRODUCIBLE across runs, partitionings
 and cluster sizes — so membership is a pure function of the row key, never of
-``random()`` state or row position. Both operators here are stateless
-``map_batches``/``map_groups`` transforms driven by splitmix64 of the key
-(``functions/sketch.py``): re-running on a re-sharded input yields the
-identical sample. The reference's analog is deterministic id-derived
+``random()`` state or row position. Every operator here is a stateless
+``map_batches``/``map_groups`` transform driven by a hash of the key
+(splitmix64 for the samplers; a SQL-mirrorable Knuth multiplicative hash for
+:func:`hash_split` so the split is oracle-checkable): re-running on a
+re-sharded input yields the identical sample. The reference's analog is
+deterministic id-derived
 identity (``/root/reference/pipeline/common.py:29-36``) — same key, same
 outcome, no coordination.
 """
@@ -66,3 +68,53 @@ def stratified_sample(
         return pd_to_arrow(g)
 
     return ds.groupby(stratum).map_groups(pick, batch_format="pandas")
+
+
+_KNUTH = 2654435761  # Knuth multiplicative constant (golden-ratio * 2^32)
+
+
+def split_buckets(keys: np.ndarray, n_buckets: int, seed: int) -> np.ndarray:
+    """((key * 2654435761 + seed) mod 2^32) mod n_buckets, exactly.
+
+    Chosen over splitmix64 for one reason: it is EXACTLY mirrorable in SQL
+    (``(CAST(k AS HUGEINT) * 2654435761 + seed) % 4294967296 % n``), so the
+    split itself is oracle-checkable value-for-value. numpy's uint64 wrap
+    (mod 2^64) preserves the mod-2^32 residue because 2^32 | 2^64, so the
+    kernel is exact for ANY int64 key with zero per-row Python."""
+    k = keys.astype(np.uint64)
+    h = (k * np.uint64(_KNUTH) + np.uint64(seed)) & np.uint64(0xFFFFFFFF)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def hash_split(
+    ds: "ray.data.Dataset",
+    key: str,
+    splits: "dict[str, int]",
+    seed: int = 0,
+    out_col: str = "split",
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test split as a pure per-row map — the way a
+    100-TB corpus is split: membership is a function of the row KEY alone,
+    so it is stable across runs, re-shardings and cluster sizes, needs no
+    shuffle or coordination, and two tables sharing the key column land in
+    consistent splits (no leakage across feature/label tables).
+
+    ``splits`` maps name -> integer weight (e.g. train 90 / val 5 / test 5);
+    a row lands in the split whose cumulative-weight range contains its
+    bucket. Appends ``out_col``; drop or select downstream."""
+    names = list(splits)
+    weights = np.array([splits[n] for n in names], dtype=np.int64)
+    if (weights <= 0).any():
+        raise ValueError("split weights must be positive")
+    bounds = np.cumsum(weights)
+    total = int(bounds[-1])
+    names_arr = np.array(names, dtype=object)
+
+    def f(t: pa.Table) -> pa.Table:
+        b = split_buckets(
+            t.column(key).to_numpy(zero_copy_only=False), total, seed
+        )
+        lab = names_arr[np.searchsorted(bounds, b, side="right")]
+        return t.append_column(out_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

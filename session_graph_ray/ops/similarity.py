@@ -226,3 +226,194 @@ def ivf_topk(
 
     pruned = ds.map_batches(filter_probed, batch_format="pyarrow", batch_size=4096)
     return brute_force_topk(pruned, queries, query_ids, k, id_col, vec_col)
+
+
+@ray.remote(num_cpus=1)
+def _gather_corpus(refs: list) -> pa.Table:
+    """Concat + id-sort the compact (id, unit-vector) blocks OFF the driver;
+    the result lives once in plasma and every graph task reads it zero-copy
+    (the same consolidation shape as the scorer feature table)."""
+    import pyarrow.compute as pc
+
+    tbls = [t for t in ray.get(list(refs)) if t.num_rows]
+    t = pa.concat_tables(tbls).combine_chunks()
+    return t.take(pc.sort_indices(t, sort_keys=[("id", "ascending")]))
+
+
+def _row_topk(ids: np.ndarray, sims: np.ndarray, self_id: int,
+              k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-row top-k with the (-sim, id) deterministic tie-break;
+    argpartition bounds the O(n log n) sort to the k+1 candidate slice."""
+    kk = min(k + 1, sims.size)  # +1: self may be among the candidates
+    if kk < sims.size:
+        cand = np.argpartition(-sims, kk - 1)[:kk]
+    else:
+        cand = np.arange(sims.size)
+    cand = cand[ids[cand] != self_id]
+    order = np.lexsort((ids[cand], -sims[cand]))[:k]
+    sel = cand[order]
+    return ids[sel], sims[sel]
+
+
+def knn_graph(
+    ds: "ray.data.Dataset",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_max_rows: int = 2_000_000,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    n_iter: int = 2,
+    bucket_cap: int = 65536,
+) -> "ray.data.Dataset":
+    """k-NN graph: top-k cosine neighbors for EVERY row (the all-pairs
+    primitive behind SemDeDup-style clustering and embedding dedup).
+    Output: (id_col, neighbor_id, nn_rank), exactly ``min(k, n-1)``
+    rows per input row, deterministic (-sim, neighbor_id) tie-break.
+
+    Two plans, size-gated like every broadcast in this repo:
+
+    - **exact** (corpus rows <= ``broadcast_max_rows``): the compact
+      (id, unit-vector) corpus is consolidated off-driver, lives ONCE in
+      the object store, and one ``map_batches`` pass computes each batch's
+      rows against it — the per-row result is already final (the whole
+      corpus was visible), so there is no merge shuffle at all.
+    - **IVF** (bigger): distributed-k-means centroids
+      (:func:`train_ivf_centroids`); every row is a MEMBER of its nearest
+      cell and a QUERY in its ``n_probe`` nearest cells, so one
+      ``groupby(cell)`` co-locates each query with every member it may
+      match (a neighbor appears in exactly one member cell — partials
+      never duplicate). Per-cell brute force is chunked at ``bucket_cap``
+      members WITHOUT skipping (every chunk is scanned; running top-k
+      accumulates), then a final per-query top-k groupby merges cells.
+      Approximation is the standard IVF one — only neighbors sharing a
+      probed cell are reachable — and is the documented trade at 10^12
+      rows, where exact all-pairs is off the table.
+    """
+    compact = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "id": pa.compute.cast(t.column(id_col), pa.int64()),
+                "v": _fixed_list(_unit(_vecs_np(t.column(vec_col)))),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    n = ds.count()
+    if n <= broadcast_max_rows:
+        corpus_ref = _gather_corpus.remote(compact.to_arrow_refs())
+
+        def exact_batch(t: pa.Table) -> pa.Table:
+            corpus = ray.get(corpus_ref)
+            cids = corpus.column("id").to_numpy(zero_copy_only=False)
+            cmat = _vecs_np(corpus.column("v"))
+            qids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            qmat = _unit(_vecs_np(t.column(vec_col)))
+            sims = qmat @ cmat.T
+            out_q, out_v, out_r = [], [], []
+            for i in range(sims.shape[0]):
+                nid, _s = _row_topk(cids, sims[i], int(qids[i]), k)
+                out_q.append(np.full(nid.size, qids[i], np.int64))
+                out_v.append(nid)
+                out_r.append(np.arange(1, nid.size + 1, dtype=np.int64))
+            cat = (lambda xs: np.concatenate(xs) if xs else
+                   np.empty(0, np.int64))
+            return pa.table(
+                {
+                    id_col: pa.array(cat(out_q), pa.int64()),
+                    "neighbor_id": pa.array(cat(out_v), pa.int64()),
+                    "nn_rank": pa.array(cat(out_r), pa.int64()),
+                }
+            )
+
+        return ds.map_batches(exact_batch, batch_format="pyarrow",
+                              batch_size=4096)
+
+    # --- IVF plan ---------------------------------------------------------
+    cents = train_ivf_centroids(
+        ds, n_centroids=n_centroids, n_iter=n_iter, vec_col=vec_col, seed=seed
+    )
+    cref = ray.put(_unit(cents))
+    p = min(n_probe, len(cents))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        mat = _vecs_np(t.column("v"))
+        sims = mat @ c.T
+        # top-p cells per row; the argmax (member) cell is cells[:, 0]
+        cells = np.argsort(-sims, axis=1)[:, :p]
+        nrep = cells.shape[1]
+        rep_ids = np.repeat(ids, nrep)
+        rep_cell = cells.ravel().astype(np.int64)
+        is_member = np.zeros(rep_cell.size, dtype=bool)
+        is_member[::nrep] = True
+        return pa.table(
+            {
+                "cell": pa.array(rep_cell),
+                "id": pa.array(rep_ids, pa.int64()),
+                "v": _fixed_list(np.repeat(mat, nrep, axis=0)),
+                "is_member": pa.array(is_member),
+            }
+        )
+
+    assigned = compact.map_batches(assign, batch_format="pyarrow",
+                                   batch_size=8192)
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        mat = _vecs_np(g.column("v"))
+        member = g.column("is_member").to_numpy(zero_copy_only=False)
+        mids, mmat = ids[member], mat[member]
+        out_q, out_v, out_s = [], [], []
+        # chunk the MEMBER side; every chunk is scanned (no silent skips) —
+        # per-query top-k over the concatenated per-chunk candidates below
+        for lo in range(0, len(mids), bucket_cap):
+            sims = mat @ mmat[lo: lo + bucket_cap].T
+            cid = mids[lo: lo + bucket_cap]
+            kk = min(k + 1, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(sims.shape[0]), kk)
+            cols = part.ravel()
+            out_q.append(np.repeat(ids, kk))
+            out_v.append(cid[cols])
+            out_s.append(sims[rows, cols])
+        cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0))
+        q, v, s = cat(out_q), cat(out_v), cat(out_s)
+        keep = q != v
+        return pa.table(
+            {
+                "qid": pa.array(q[keep].astype(np.int64)),
+                "neighbor_id": pa.array(v[keep].astype(np.int64)),
+                "sim": pa.array(s[keep].astype(np.float64)),
+            }
+        )
+
+    partials = assigned.groupby("cell").map_groups(
+        per_cell, batch_format="pyarrow"
+    )
+
+    def final(g: pa.Table) -> pa.Table:
+        q = g.column("qid").to_numpy(zero_copy_only=False)
+        v = g.column("neighbor_id").to_numpy(zero_copy_only=False)
+        s = g.column("sim").to_numpy(zero_copy_only=False)
+        # a probe cell may repeat a (q, neighbor) candidate only if the
+        # neighbor's member cell was probed more than once — impossible
+        # (one member cell per row) — so dedup is unnecessary here
+        order = np.lexsort((v, -s, q))
+        q, v = q[order], v[order]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        counts = np.diff(np.r_[starts, q.size])
+        rank = np.arange(q.size) - np.repeat(starts, counts) + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                id_col: pa.array(q[keep], pa.int64()),
+                "neighbor_id": pa.array(v[keep], pa.int64()),
+                "nn_rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return partials.groupby("qid").map_groups(final, batch_format="pyarrow")

@@ -266,6 +266,21 @@ def q_knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> "rd.Datase
     return out.select_columns(["query_id", "vec_id"])
 
 
+def q_knn_graph(sf_dir: str, k: int = 5) -> "rd.Dataset":
+    """k-NN graph over the WHOLE embeddings table — all-pairs top-k per row,
+    the primitive behind SemDeDup-style clustering and embedding near-dedup.
+    At this scale the size gate picks the exact broadcast plan; at 10^12 rows
+    the same call routes through the IVF-bucketed plan (ops/similarity.py).
+    ``nn_rank`` is pinned by pytest against a numpy reference; the oracle
+    hashes the (vec_id, neighbor_id) edge set (float-rank ties are not part
+    of the cross-engine contract, same as ``knn_bruteforce``)."""
+    from ..ops.similarity import knn_graph
+
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"])
+    return knn_graph(emb, k=k).select_columns(["vec_id", "neighbor_id"])
+
+
 def _query_vectors(sf_dir: str, n_queries: int):
     """The first n query vectors via parquet predicate pushdown (row-group
     pruning at the read — round-1's per-row ``ds.filter(lambda)`` full scan
@@ -1260,6 +1275,18 @@ def q_docs_stratified_sample(sf_dir: str, k: int = 20) -> "rd.Dataset":
     docs = _rp(f"{sf_dir}/documents.parquet",
                columns=["doc_id", "lang", "source"])
     return stratified_sample(docs, stratum="lang", key="doc_id", k=k)
+
+
+def q_doc_split(sf_dir: str) -> "rd.Dataset":
+    """Deterministic train/val/test split (90/5/5) keyed on doc_id — a pure
+    per-row map with NO shuffle, stable across runs/shardings/cluster sizes.
+    The bucket hash is SQL-mirrorable, so unlike the splitmix64 samplers this
+    split is oracle-checked value-for-value (ops/sample.hash_split)."""
+    from ..ops.sample import hash_split
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(docs, key="doc_id",
+                      splits={"train": 90, "val": 5, "test": 5}, seed=7)
 
 
 def q_top_tokens(sf_dir: str, k: int = 30) -> "rd.Dataset":

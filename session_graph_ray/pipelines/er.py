@@ -131,7 +131,10 @@ def run_er_pipeline(
     else:
         n_feat = features.count()
 
-    scores = stage("scores", lambda: score_pairs(pairs, features, cfg, n_features=n_feat))
+    # spill_key = the run fingerprint: a re-run over the same inputs + config
+    # reuses the consolidated-feature spill file instead of rewriting it
+    scores = stage("scores", lambda: score_pairs(
+        pairs, features, cfg, n_features=n_feat, spill_key=fp))
     edges = stage("edges", lambda: match_edges(scores, cfg))
     if ckpt is not None and "rows" in metrics.get("edges", {}):
         n_edges = metrics["edges"]["rows"]

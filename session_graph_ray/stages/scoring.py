@@ -217,8 +217,32 @@ def _empty_scores() -> pa.Table:
     return _scores_schema().empty_table()
 
 
+_SPILL_TTL_S = 6 * 3600  # GC horizon for orphaned spill files
+
+
+def _gc_spill_dir(spill_dir: str, keep: str) -> None:
+    """Best-effort removal of spill files no live run can still be reading:
+    a spill is consumed within its own run, so anything older than the TTL
+    is an orphan from a finished/crashed run. Keyed reuse (below) already
+    bounds steady-state growth; this sweeps the residue."""
+    import os
+    import time
+
+    now = time.time()
+    try:
+        for name in os.listdir(spill_dir):
+            if not (name.startswith("feat-") and name.endswith(".arrow")):
+                continue
+            p = os.path.join(spill_dir, name)
+            if p != keep and now - os.path.getmtime(p) > _SPILL_TTL_S:
+                os.unlink(p)
+    except OSError:
+        pass
+
+
 @ray.remote(num_cpus=1)
-def _consolidate_features(refs: list, spill_dir: str) -> str:
+def _consolidate_features(refs: list, spill_dir: str,
+                          spill_key: str | None = None) -> str:
     """Concat + id-sort the compact feature blocks OFF the driver, then
     spill ONE uncompressed Arrow IPC file and return its path.
 
@@ -227,23 +251,39 @@ def _consolidate_features(refs: list, spill_dir: str) -> str:
     ObjectRefs make Ray Data actor restarts fail (ray#53727; VERDICT r2 #3).
     On a multi-node cluster ``cfg.feature_spill_dir`` must point at
     cluster-visible scratch (object storage in prod); each actor reads the
-    file once, memory-mapped."""
+    file once, memory-mapped.
+
+    ``spill_key`` (the run's input fingerprint — input files + config) makes
+    the spill CONTENT-ADDRESSED: features are a deterministic function of
+    that key, so a re-run of the same inputs reuses the existing file
+    (skipping consolidation entirely, page cache already warm) instead of
+    writing an identical copy — repeated benches/resumes stop accreting
+    spill files. Writes are tmp + atomic rename, so a concurrent run racing
+    on the same key harmlessly replaces the file with identical bytes and a
+    crashed write is never visible at the keyed path."""
     import os
     import uuid
 
+    os.makedirs(spill_dir, exist_ok=True)
+    name = spill_key if spill_key else uuid.uuid4().hex
+    path = os.path.join(spill_dir, f"feat-{name}.arrow")
+    _gc_spill_dir(spill_dir, keep=path)
+    if spill_key and os.path.exists(path):
+        os.utime(path)  # refresh the GC clock on reuse
+        return path
     tbls = [t for t in ray.get(list(refs)) if t.num_rows]
     t = pa.concat_tables(tbls).combine_chunks() if tbls else pa.table(
         {c: pa.array([], pa.uint64()) for c in ["file_id_u64"]}
     )
     order = pc.sort_indices(t, sort_keys=[("file_id_u64", "ascending")])
     t = t.take(order).combine_chunks()
-    os.makedirs(spill_dir, exist_ok=True)
     # uncompressed Arrow IPC, not parquet: every actor memory-maps the SAME
     # file zero-copy (one page-cache copy per node, ~zero decode at init)
-    path = os.path.join(spill_dir, f"feat-{uuid.uuid4().hex}.arrow")
-    with pa.OSFile(path, "wb") as f:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with pa.OSFile(tmp, "wb") as f:
         with pa.ipc.new_file(f, t.schema) as w:
             w.write_table(t)
+    os.replace(tmp, path)
     return path
 
 
@@ -314,15 +354,18 @@ def score_pairs(
     features: "ray.data.Dataset",
     cfg: ERConfig,
     n_features: int | None = None,
+    spill_key: str | None = None,
 ) -> "ray.data.Dataset":
     """(id_a, id_b, block_key, fam, route) × features -> scored edges.
 
     ``n_features``: row count of ``features`` if the caller already knows it
     (e.g. from the stage checkpoint manifest) — avoids re-executing the
-    feature lineage just to pick the indexed-vs-join path. Returns every
-    scored pair (thresholding is the caller's concern so the scores table can
-    be checkpointed *including* non-matches — the reference caches negative
-    results too, ``link_entities.py:283-329``).
+    feature lineage just to pick the indexed-vs-join path. ``spill_key``:
+    content key for the consolidated-feature spill (the run's input
+    fingerprint) — same inputs reuse the same file instead of rewriting it.
+    Returns every scored pair (thresholding is the caller's concern so the
+    scores table can be checkpointed *including* non-matches — the reference
+    caches negative results too, ``link_entities.py:283-329``).
     """
     feat = features.select_columns(_FEATURE_COLS)
 
@@ -365,7 +408,7 @@ def score_pairs(
     if n_features <= cfg.feature_broadcast_limit:
         feat_path = ray.get(
             _consolidate_features.remote(
-                feat.to_arrow_refs(), cfg.feature_spill_dir
+                feat.to_arrow_refs(), cfg.feature_spill_dir, spill_key
             )
         )
         fuzzy_scored = fuzzy_pairs.map_batches(

@@ -1,0 +1,91 @@
+"""k-NN graph (all-pairs top-k per row, ops/similarity.knn_graph): the exact
+broadcast plan is pinned rank-for-rank against a numpy reference; the IVF
+plan (forced via the size gate) is checked for invariants + recall vs exact
+on a cluster-structured corpus."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _ds_from(vecs: np.ndarray) -> "rd.Dataset":
+    n = len(vecs)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(n)), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs],
+                                      pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+
+
+def _numpy_knn(vecs: np.ndarray, k: int) -> pd.DataFrame:
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    rows = []
+    for i in range(len(vecs)):
+        order = np.lexsort((np.arange(len(vecs)), -sims[i]))
+        order = order[order != i][:k]
+        for r, j in enumerate(order, start=1):
+            rows.append((i, int(j), r))
+    return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "nn_rank"])
+
+
+def test_knn_graph_exact_matches_numpy():
+    from session_graph_ray.ops.similarity import knn_graph
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 8)
+    got = (
+        knn_graph(_ds_from(vecs), k=5)
+        .to_pandas()
+        .sort_values(["vec_id", "nn_rank"])
+        .reset_index(drop=True)
+    )
+    want = _numpy_knn(vecs, k=5)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_knn_graph_ivf_plan_invariants_and_recall():
+    from session_graph_ray.ops.similarity import knn_graph
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(12, 16) * 3.0
+    assign = rng.randint(0, 12, 800)
+    vecs = centers[assign] + rng.randn(800, 16) * 0.3
+    ds = _ds_from(vecs)
+
+    k = 5
+    # broadcast_max_rows=0 forces the IVF-bucketed plan on a corpus the
+    # exact plan would otherwise take
+    approx = knn_graph(
+        ds, k=k, broadcast_max_rows=0, n_centroids=16, n_probe=6
+    ).to_pandas()
+
+    # invariants: no self edges, no duplicate (q, neighbor), <= k per row,
+    # ranks are 1..count within each row
+    assert (approx["vec_id"] != approx["neighbor_id"]).all()
+    assert not approx.duplicated(["vec_id", "neighbor_id"]).any()
+    per_row = approx.groupby("vec_id")["nn_rank"]
+    assert (per_row.count() <= k).all()
+    assert (per_row.max() == per_row.count()).all()
+    assert approx["vec_id"].nunique() == 800  # every row got neighbors
+
+    exact = _numpy_knn(vecs, k=k)
+    ekeys = set(zip(exact["vec_id"], exact["neighbor_id"]))
+    akeys = set(zip(approx["vec_id"], approx["neighbor_id"]))
+    recall = len(ekeys & akeys) / len(ekeys)
+    assert recall >= 0.9, recall
+
+
+def test_knn_graph_exact_handles_k_above_corpus():
+    from session_graph_ray.ops.similarity import knn_graph
+
+    vecs = np.random.RandomState(0).randn(4, 6)
+    out = knn_graph(_ds_from(vecs), k=10).to_pandas()
+    # n-1 neighbors per row when k > n-1
+    assert (out.groupby("vec_id")["neighbor_id"].count() == 3).all()

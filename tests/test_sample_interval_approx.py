@@ -199,3 +199,38 @@ def test_approx_quantiles_global_exact_small():
     out = approx_quantiles(ds, "v", [0.5, 0.99], m=1024).to_pandas()
     assert float(out["q_50"].iloc[0]) == 50.0
     assert float(out["q_99"].iloc[0]) == 99.0
+
+
+def test_hash_split_deterministic_and_exact():
+    from session_graph_ray.ops.sample import _KNUTH, hash_split
+
+    ids = np.arange(10_000, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(6)
+    splits = {"train": 90, "val": 5, "test": 5}
+    out = hash_split(ds, "doc_id", splits, seed=7).to_pandas()
+    out2 = hash_split(ds.repartition(3), "doc_id", splits, seed=7).to_pandas()
+
+    # partitioning-independent and run-deterministic
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # exact mirror of the SQL-expressible bucket formula (pure python)
+    buckets = ((ids.astype(object) * _KNUTH + 7) % 2**32) % 100
+    want = np.where(buckets < 90, "train", np.where(buckets < 95, "val", "test"))
+    assert (a["split"].to_numpy() == want).all()
+
+    # proportions land near the weights
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.90) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    assert abs(frac["test"] - 0.05) < 0.01
+
+
+def test_hash_split_wraps_large_keys_exactly():
+    from session_graph_ray.ops.sample import split_buckets
+
+    ids = np.array([2**62 + 12345, 2**63 - 1, 0, 17], dtype=np.uint64)
+    got = split_buckets(ids.astype(np.int64), 100, seed=7)
+    want = [((int(k) * 2654435761 + 7) % 2**32) % 100 for k in ids]
+    assert got.tolist() == want
