@@ -1139,6 +1139,11 @@ def q_event_type_users_approx(sf_dir: str) -> "rd.Dataset":
 
 
 def _big_order_custkeys(sf_dir: str) -> "rd.Dataset":
+    """Keys of orders over 400k, MATERIALIZED once: bloom_semi_join consumes
+    its build side twice (bitmap build + exact residue), and pinning the
+    compact filtered key column (one int64 per qualifying order, distributed
+    blocks — never a driver pull) replaces the second full ``orders`` scan
+    with an object-store read."""
     orders = _rp(f"{sf_dir}/orders.parquet",
                  columns=["o_custkey", "o_totalprice"])
     return orders.map_batches(
@@ -1146,7 +1151,7 @@ def _big_order_custkeys(sf_dir: str) -> "rd.Dataset":
             pc.greater(t.column("o_totalprice"), 400000.0)
         ).select(["o_custkey"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
 
 
 _CUST_KEY_NAME = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])

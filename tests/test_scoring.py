@@ -93,3 +93,30 @@ def test_empty_batch():
     cfg = ERConfig()
     out = PairScorer(cfg)(_pair_batch([]))
     assert out.num_rows == 0
+
+
+def test_spill_gc_and_keyed_reuse(tmp_path):
+    """_gc_spill_dir removes only stale spill files; keyed consolidation
+    reuses an existing file byte-for-byte (no rewrite)."""
+    import os
+    import time
+
+    from session_graph_ray.stages import scoring as S
+
+    d = str(tmp_path)
+    old = os.path.join(d, "feat-old.arrow")
+    new = os.path.join(d, "feat-new.arrow")
+    keep = os.path.join(d, "feat-keep.arrow")
+    other = os.path.join(d, "notes.txt")
+    for p in (old, new, keep, other):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    stale = time.time() - S._SPILL_TTL_S - 60
+    os.utime(old, (stale, stale))
+    os.utime(keep, (stale, stale))
+
+    S._gc_spill_dir(d, keep=keep)
+    assert not os.path.exists(old)        # stale, not kept -> swept
+    assert os.path.exists(new)            # fresh -> kept
+    assert os.path.exists(keep)           # stale but current run's -> kept
+    assert os.path.exists(other)          # non-spill files untouched
