@@ -793,10 +793,15 @@ def embedding_near_dup_pairs(
 
 def split_embedding_metric_rows(
     pairs: "ray.data.Dataset",
-) -> tuple["ray.data.Dataset", "pa.Table"]:
+) -> tuple["ray.data.Dataset", "pd.DataFrame"]:
     """Split :func:`embedding_near_dup_pairs` output into (real pairs,
-    driver-side metric table). Sentinel rows carry cosine == -2.0 (real
-    cosines are >= -1); id_b holds the per-bucket skipped-pair count."""
+    driver-side metric frame). Sentinel rows carry cosine == -2.0 (real
+    cosines are >= -1); id_b holds the per-bucket skipped-pair count.
+
+    ``pairs`` is materialized first: both branches then read pinned blocks
+    instead of each re-executing the bucketize + groupby + matmul lineage
+    (the dominant cost) a second time."""
+    pairs = pairs.materialize()
     real = pairs.map_batches(
         lambda t: t.filter(pc.greater_equal(t["cosine"], pa.scalar(-1.0))),
         batch_format="pyarrow",

@@ -80,7 +80,13 @@ def split_buckets(keys: np.ndarray, n_buckets: int, seed: int) -> np.ndarray:
     (``(CAST(k AS HUGEINT) * 2654435761 + seed) % 4294967296 % n``), so the
     split itself is oracle-checkable value-for-value. numpy's uint64 wrap
     (mod 2^64) preserves the mod-2^32 residue because 2^32 | 2^64, so the
-    kernel is exact for ANY int64 key with zero per-row Python."""
+    kernel is exact for any NON-NEGATIVE int64 key with zero per-row
+    Python. Negative keys are rejected: SQL ``%`` returns negative residues
+    there, so the two sides would silently disagree — reject loudly instead
+    of splitting differently from the documented mirror."""
+    if keys.size and keys.min() < 0:
+        raise ValueError("split_buckets requires non-negative keys "
+                         "(the SQL mirror's % semantics differ below 0)")
     k = keys.astype(np.uint64)
     h = (k * np.uint64(_KNUTH) + np.uint64(seed)) & np.uint64(0xFFFFFFFF)
     return (h % np.uint64(n_buckets)).astype(np.int64)

@@ -242,11 +242,18 @@ def _gather_corpus(refs: list) -> pa.Table:
 
 def _row_topk(ids: np.ndarray, sims: np.ndarray, self_id: int,
               k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Exact per-row top-k with the (-sim, id) deterministic tie-break;
-    argpartition bounds the O(n log n) sort to the k+1 candidate slice."""
+    """Exact per-row top-k with the (-sim, id) deterministic tie-break.
+
+    Candidates are everything at or above the (k+1)-th largest sim — NOT a
+    bare ``argpartition[:k+1]``, which keeps an arbitrary subset of the
+    values tied at the boundary and so breaks the id tie-break exactly on
+    the duplicate-embedding corpora this operator targets. The candidate
+    set only exceeds k+1 by the boundary tie count, so the full lexsort
+    stays cheap for non-degenerate rows."""
     kk = min(k + 1, sims.size)  # +1: self may be among the candidates
     if kk < sims.size:
-        cand = np.argpartition(-sims, kk - 1)[:kk]
+        thresh = np.partition(sims, sims.size - kk)[sims.size - kk]
+        cand = np.flatnonzero(sims >= thresh)
     else:
         cand = np.arange(sims.size)
     cand = cand[ids[cand] != self_id]
@@ -291,6 +298,8 @@ def knn_graph(
       probed cell are reachable — and is the documented trade at 10^12
       rows, where exact all-pairs is off the table.
     """
+    # one read + one normalization for the whole operator: both plans (and
+    # the gate's row count) reuse this materialized compact projection
     compact = ds.map_batches(
         lambda t: pa.table(
             {
@@ -300,8 +309,8 @@ def knn_graph(
         ),
         batch_format="pyarrow",
         batch_size=8192,
-    )
-    n = ds.count()
+    ).materialize()
+    n = compact.count()  # metadata-only on a materialized dataset
     if n <= broadcast_max_rows:
         corpus_ref = _gather_corpus.remote(compact.to_arrow_refs())
 
@@ -309,8 +318,8 @@ def knn_graph(
             corpus = ray.get(corpus_ref)
             cids = corpus.column("id").to_numpy(zero_copy_only=False)
             cmat = _vecs_np(corpus.column("v"))
-            qids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            qmat = _unit(_vecs_np(t.column(vec_col)))
+            qids = t.column("id").to_numpy(zero_copy_only=False)
+            qmat = _vecs_np(t.column("v"))  # already unit-normalized
             sims = qmat @ cmat.T
             out_q, out_v, out_r = [], [], []
             for i in range(sims.shape[0]):
@@ -328,12 +337,12 @@ def knn_graph(
                 }
             )
 
-        return ds.map_batches(exact_batch, batch_format="pyarrow",
-                              batch_size=4096)
+        return compact.map_batches(exact_batch, batch_format="pyarrow",
+                                   batch_size=4096)
 
     # --- IVF plan ---------------------------------------------------------
     cents = train_ivf_centroids(
-        ds, n_centroids=n_centroids, n_iter=n_iter, vec_col=vec_col, seed=seed
+        compact, n_centroids=n_centroids, n_iter=n_iter, vec_col="v", seed=seed
     )
     cref = ray.put(_unit(cents))
     p = min(n_probe, len(cents))
@@ -374,10 +383,14 @@ def knn_graph(
             sims = mat @ mmat[lo: lo + bucket_cap].T
             cid = mids[lo: lo + bucket_cap]
             kk = min(k + 1, sims.shape[1])
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(np.arange(sims.shape[0]), kk)
-            cols = part.ravel()
-            out_q.append(np.repeat(ids, kk))
+            # keep everything at or above the kk-th largest sim per row —
+            # boundary TIES included (a bare argpartition[:kk] keeps an
+            # arbitrary tied subset and breaks the id tie-break on
+            # duplicate-embedding corpora); the final per-query top-k
+            # resolves them deterministically
+            kth = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+            rows, cols = np.nonzero(sims >= kth[:, None])
+            out_q.append(ids[rows])
             out_v.append(cid[cols])
             out_s.append(sims[rows, cols])
         cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0))

@@ -217,14 +217,20 @@ def _empty_scores() -> pa.Table:
     return _scores_schema().empty_table()
 
 
-_SPILL_TTL_S = 6 * 3600  # GC horizon for orphaned spill files
+_SPILL_TTL_S = 24 * 3600  # GC horizon for orphaned spill files
 
 
 def _gc_spill_dir(spill_dir: str, keep: str) -> None:
     """Best-effort removal of spill files no live run can still be reading:
     a spill is consumed within its own run, so anything older than the TTL
     is an orphan from a finished/crashed run. Keyed reuse (below) already
-    bounds steady-state growth; this sweeps the residue."""
+    bounds steady-state growth; this sweeps the residue.
+
+    Liveness signal: every scorer-actor ``__init__`` (including restarts)
+    utimes its file, so a run is only at risk if one scoring STAGE runs
+    longer than the TTL with zero actor (re)starts — with a 24 h TTL that
+    is not a realistic stage duration; on a shared cluster, scratch
+    lifecycle ultimately belongs to the cluster scheduler, not this sweep."""
     import os
     import time
 
@@ -300,6 +306,12 @@ class IndexedPairScorer(PairScorer):
 
     def __init__(self, cfg: ERConfig, feat_path: str):
         super().__init__(cfg)
+        import os
+
+        try:
+            os.utime(feat_path)  # mark live for _gc_spill_dir's TTL sweep
+        except OSError:
+            pass
         src = pa.memory_map(feat_path, "r")
         self.feat = pa.ipc.open_file(src).read_all().combine_chunks()
         self.ids = self.feat.column("file_id_u64").to_numpy(zero_copy_only=False)

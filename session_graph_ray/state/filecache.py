@@ -40,15 +40,19 @@ def _entry_fp(path: str, cfg_fp: str) -> str:
 
 def _ensure_nonempty(dirpath: str, schema: "pa.Schema | None") -> None:
     """write_parquet emits zero files for an empty dataset; persist an
-    explicit empty file so a later read_parquet round-trips the schema."""
+    explicit empty file so a later read_parquet round-trips the schema.
+    A derive with NO recoverable schema is a caller bug — raise rather
+    than cache a placeholder schema that would poison the combined
+    read_parquet over all entries forever (atomic writes are trusted)."""
     os.makedirs(dirpath, exist_ok=True)
     if any(n.endswith(".parquet") for n in os.listdir(dirpath)):
         return
-    tbl = (
-        pa.schema(list(zip(schema.names, schema.types))).empty_table()
-        if schema is not None and schema.names
-        else pa.table({"__empty": pa.array([], pa.int8())})
-    )
+    if schema is None or not schema.names:
+        raise ValueError(
+            "file-grain derive produced an empty dataset with no schema; "
+            "derive() must yield a schema even for zero rows"
+        )
+    tbl = pa.schema(list(zip(schema.names, schema.types))).empty_table()
     pq.write_table(tbl, os.path.join(dirpath, "part-empty.parquet"))
 
 
@@ -77,23 +81,41 @@ class FileGrainCache:
         tag_dir = os.path.join(self.root, tag)
         os.makedirs(tag_dir, exist_ok=True)
         entry_dirs: list[str] = []
-        derived = 0
+        misses: list[tuple[str, str]] = []
         for path in sorted(files):
             ent = os.path.join(tag_dir, _entry_fp(path, cfg_fp))
             if not os.path.isdir(ent):
-                out = derive(path)
-                tmp = f"{ent}.tmp-{os.getpid()}"
-                shutil.rmtree(tmp, ignore_errors=True)
-                out.write_parquet(tmp)
-                _ensure_nonempty(tmp, out.schema())
-                try:
-                    os.replace(tmp, ent)
-                except OSError:
-                    if not os.path.isdir(ent):  # not a lost race: real error
-                        raise
-                    shutil.rmtree(tmp, ignore_errors=True)
-                derived += 1
+                misses.append((path, ent))
             entry_dirs.append(ent)
+
+        def fill(path: str, ent: str) -> None:
+            # materialize ONCE: the write and the (empty-case) schema both
+            # read the pinned blocks — no second lineage execution
+            out = derive(path).materialize()
+            tmp = f"{ent}.tmp-{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            out.write_parquet(tmp)
+            _ensure_nonempty(tmp, out.schema())
+            try:
+                os.replace(tmp, ent)
+            except OSError:
+                if not os.path.isdir(ent):  # not a lost race: real error
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        if len(misses) > 1:
+            # a cold cache over many files would otherwise run F sequential
+            # Ray jobs (each parallel only WITHIN one file); a small thread
+            # pool keeps several per-file pipelines in flight — Ray Data
+            # executions are independent and share the cluster's resource
+            # budget, so this overlaps read/derive/write across files
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(misses))) as ex:
+                list(ex.map(lambda pe: fill(*pe), misses))
+        elif misses:
+            fill(*misses[0])
+        derived = len(misses)
         # expand entries to files: read_parquet accepts a dir OR a file
         # list, but not a list of dirs
         parts = [

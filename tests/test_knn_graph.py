@@ -89,3 +89,33 @@ def test_knn_graph_exact_handles_k_above_corpus():
     out = knn_graph(_ds_from(vecs), k=10).to_pandas()
     # n-1 neighbors per row when k > n-1
     assert (out.groupby("vec_id")["neighbor_id"].count() == 3).all()
+
+
+def test_knn_graph_tied_sims_break_by_id():
+    """Regression: with >k+1 tied sims (duplicate embeddings), candidate
+    selection must include boundary ties so the (sim DESC, id) tie-break is
+    honored — a bare argpartition keeps an arbitrary tied subset."""
+    from session_graph_ray.ops.similarity import knn_graph
+
+    vecs = np.tile(np.array([1.0, 2.0, 3.0]), (20, 1))  # all identical
+    out = (
+        knn_graph(_ds_from(vecs), k=5)
+        .to_pandas()
+        .sort_values(["vec_id", "nn_rank"])
+        .reset_index(drop=True)
+    )
+    got0 = out[out["vec_id"] == 0]["neighbor_id"].tolist()
+    assert got0 == [1, 2, 3, 4, 5], got0
+    got19 = out[out["vec_id"] == 19]["neighbor_id"].tolist()
+    assert got19 == [0, 1, 2, 3, 4], got19
+
+    # IVF plan under the same degenerate ties
+    approx = (
+        knn_graph(_ds_from(vecs), k=5, broadcast_max_rows=0,
+                  n_centroids=2, n_probe=2)
+        .to_pandas()
+        .sort_values(["vec_id", "nn_rank"])
+        .reset_index(drop=True)
+    )
+    a0 = approx[approx["vec_id"] == 0]["neighbor_id"].tolist()
+    assert a0 == [1, 2, 3, 4, 5], a0

@@ -234,3 +234,9 @@ def test_hash_split_wraps_large_keys_exactly():
     got = split_buckets(ids.astype(np.int64), 100, seed=7)
     want = [((int(k) * 2654435761 + 7) % 2**32) % 100 for k in ids]
     assert got.tolist() == want
+
+    # negative keys are rejected loudly: SQL % has different semantics there
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_buckets(np.array([-5], dtype=np.int64), 100, seed=7)
