@@ -132,12 +132,16 @@ def _q_simhash_docs(sf_dir: str):
 
 
 def _q_doc_quality(sf_dir: str):
+    """Oracle contract: the micro-unit twin columns (ops/textstats.py) —
+    every float op in the scorer is a plain IEEE-double expression DuckDB
+    mirrors bit-for-bit, so lang/quality are SQL-checked value-for-value."""
     from session_graph_ray.sources.parquet import read_parquet_clean as _rp
 
     from session_graph_ray.ops.textstats import quality_scores
 
     docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return quality_scores(docs)
+    return quality_scores(docs).select_columns(
+        ["doc_id", "lang_pred", "stop_micro", "quality_micro"])
 
 
 def _q_doc_fingerprints(sf_dir: str):
@@ -318,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_event_revenue": A.q_nation_event_revenue,
         "top_user_type_revenue": A.q_top_user_type_revenue,
         "docs_stratified_sample": A.q_docs_stratified_sample,
+        "docs_hash_sample": A.q_docs_hash_sample,
         "doc_split": A.q_doc_split,
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
@@ -337,6 +342,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _CENTS = "CAST(FLOOR({x}*100+0.5) AS BIGINT)"
+
+
+def _sm64_mulmod(b: int) -> str:
+    """(y * b) mod 2^64 over HUGEINT ``y`` — 64x64 multiply split into 32-bit
+    halves so no intermediate exceeds int128 (DuckDB HUGEINT overflows at
+    2^127, a raw 64x64 product does not fit)."""
+    b1, b0 = b >> 32, b & 0xFFFFFFFF
+    return (
+        f"CAST(( (y % 4294967296) * {b0} "
+        f"+ ((((y % 4294967296) * {b1} + (y // 4294967296) * {b0}) "
+        f"% 4294967296) * 4294967296) ) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _sm64_chain(carry: str, key: str = "doc_id", seed: int = 0xA5A5) -> str:
+    """CTE chain computing ``h = splitmix64(key ^ seed)`` bit-exactly in
+    DuckDB (validated against functions/sketch.splitmix64 over edge keys
+    incl. 2^62 and 2^63-1), carrying ``carry`` columns through. The samplers
+    in ops/sample.py are key-pure exactly so this mirror exists."""
+    return f"""
+            inp AS (SELECT {key}, {carry} FROM documents),
+            x0 AS (SELECT {key}, {carry},
+                          xor(CAST({key} AS UBIGINT), CAST({seed} AS UBIGINT))
+                          AS x FROM inp),
+            s1 AS (SELECT {key}, {carry},
+                          CAST((CAST(x AS HUGEINT) + 11400714819323198485)
+                               % 18446744073709551616 AS UBIGINT) AS z1
+                   FROM x0),
+            y2 AS (SELECT {key}, {carry},
+                          CAST(xor(z1, z1 >> 30) AS HUGEINT) AS y FROM s1),
+            s2 AS (SELECT {key}, {carry},
+                          {_sm64_mulmod(0xBF58476D1CE4E5B9)} AS z2 FROM y2),
+            y3 AS (SELECT {key}, {carry},
+                          CAST(xor(z2, z2 >> 27) AS HUGEINT) AS y FROM s2),
+            s3 AS (SELECT {key}, {carry},
+                          {_sm64_mulmod(0x94D049BB133111EB)} AS z3 FROM y3),
+            hashed AS (SELECT {key}, {carry}, xor(z3, z3 >> 31) AS h FROM s3)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -743,6 +787,83 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
                   FROM documents)
             GROUP BY doc_id
+        """,
+        # key-pure samplers mirrored exactly: the oracle recomputes
+        # splitmix64(doc_id ^ seed) in HUGEINT arithmetic (_sm64_chain) —
+        # hashes are bijective per key, so top-k-by-hash has no ties and
+        # Bernoulli membership is a pure threshold (ops/sample.py)
+        "docs_stratified_sample": f"""
+            WITH {_sm64_chain("lang, source")}
+            SELECT doc_id, lang, source FROM hashed
+            QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h) <= 20
+        """,
+        "docs_hash_sample": f"""
+            WITH {_sm64_chain("lang, source")}
+            SELECT doc_id, lang, source FROM hashed
+            WHERE h < 4611686018427387904
+        """,
+        # quality/lang-ID heuristic in exact micro-units: both engines run
+        # RE2 and evaluate the same plain IEEE-double expression tree
+        # (division -> least/greatest -> weighted sum), so FLOOR(x*1e6+0.5)
+        # matches bit-for-bit (ops/textstats.QualityScorer). list_filter
+        # (not list_intersect) because stopword hits count OCCURRENCES.
+        "doc_quality": r"""
+            WITH t AS (
+              SELECT doc_id, COALESCE(text, '') AS s FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     length(s) AS nchars,
+                     length(s) - length(regexp_replace(s, '[一-鿿]', '', 'g')) AS cjk,
+                     length(s) - length(regexp_replace(s,
+                         '[^\p{L}\p{N}_\s]', '', 'g')) AS punct,
+                     regexp_extract_all(lower(s), '[\p{L}\p{N}_]+') AS toks
+              FROM t
+            ), c AS (
+              SELECT doc_id, nchars, cjk, punct,
+                     len(toks) AS n_words,
+                     GREATEST(len(toks), 1) AS nz,
+                     len(list_filter(toks, x -> x IN ('the','and','of','to',
+                         'in','is','that','it','for','was','with','as','on',
+                         'be','at','by'))) AS h_en,
+                     len(list_filter(toks, x -> x IN ('le','la','les','de',
+                         'des','et','est','en','un','une','du','que','pour',
+                         'dans','qui','au'))) AS h_fr,
+                     len(list_filter(toks, x -> x IN ('der','die','das','und',
+                         'ist','von','zu','den','mit','auf','für','nicht',
+                         'ein','eine','im','sich'))) AS h_de,
+                     len(list_filter(toks, x -> x IN ('el','la','los','las',
+                         'de','y','es','en','un','una','del','que','por',
+                         'para','con','se'))) AS h_es
+              FROM b
+            ), r AS (
+              SELECT doc_id, nchars, punct, n_words,
+                     h_en / nz AS r_en, h_fr / nz AS r_fr,
+                     h_de / nz AS r_de, h_es / nz AS r_es,
+                     (cjk > 0 AND cjk >= nchars * 0.2) AS is_zh
+              FROM c
+            ), l AS (
+              SELECT doc_id, n_words, punct, nchars, is_zh,
+                     GREATEST(r_en, r_fr, r_de, r_es) AS hit0,
+                     CASE WHEN r_en >= r_fr AND r_en >= r_de
+                               AND r_en >= r_es THEN 'en'
+                          WHEN r_fr >= r_de AND r_fr >= r_es THEN 'fr'
+                          WHEN r_de >= r_es THEN 'de'
+                          ELSE 'es' END AS best
+              FROM r
+            )
+            SELECT doc_id,
+                   CASE WHEN is_zh THEN 'zh'
+                        WHEN hit0 < 0.03 THEN 'unknown'
+                        ELSE best END AS lang_pred,
+                   CAST(FLOOR((CASE WHEN is_zh THEN 0.0 ELSE hit0 END)
+                              * 1e6 + 0.5) AS BIGINT) AS stop_micro,
+                   CAST(FLOOR((0.4 * LEAST(n_words / 20.0, 1.0)
+                             + 0.3 * (1.0 - LEAST(punct / GREATEST(nchars, 1)
+                                                  * 4.0, 1.0))
+                             + 0.3 * (CASE WHEN is_zh THEN 1.0
+                                           ELSE LEAST(hit0 * 10.0, 1.0) END))
+                              * 1e6 + 0.5) AS BIGINT) AS quality_micro
+            FROM l
         """,
         # chained regexp_replace = the op's sequential count-then-redact
         # semantics; patterns are RE2 in both engines (ops/pii.py)

@@ -133,12 +133,24 @@ class QualityScorer:
         len_score = np.minimum(n_words / 20.0, 1.0)
         punct_score = 1.0 - np.minimum(punct / np.maximum(nchars, 1) * 4.0, 1.0)
         stop_score = np.where(is_zh, 1.0, np.minimum(hit * 10.0, 1.0))
-        qual = np.round(0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score, 6)
+        qual_raw = 0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score
+        qual = np.round(qual_raw, 6)
+
+        # exact-oracle twins: every float op above is a plain IEEE-double
+        # expression DuckDB evaluates bit-identically, so quantizing with
+        # floor(x*1e6+0.5) (the doc_char_jaccard / bm25 house pattern) makes
+        # the heuristic SQL-checkable value-for-value — np.round's banker's
+        # rounding is the one op SQL can't mirror, hence quantizing qual_raw
+        quality_micro = np.floor(qual_raw * 1e6 + 0.5).astype(np.int64)
+        stop_micro = np.floor(hit * 1e6 + 0.5).astype(np.int64)
 
         out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
         out = out.append_column("lang_pred", pa.array(lang_arr, pa.string()))
         out = out.append_column("stopword_ratio", pa.array(hit, pa.float64()))
         out = out.append_column("quality", pa.array(qual, pa.float64()))
+        out = out.append_column("stop_micro", pa.array(stop_micro, pa.int64()))
+        out = out.append_column("quality_micro",
+                                pa.array(quality_micro, pa.int64()))
         return out
 
 

@@ -1282,6 +1282,19 @@ def q_docs_stratified_sample(sf_dir: str, k: int = 20) -> "rd.Dataset":
     return stratified_sample(docs, stratum="lang", key="doc_id", k=k)
 
 
+def q_docs_hash_sample(sf_dir: str, rate: float = 0.25) -> "rd.Dataset":
+    """Deterministic Bernoulli(rate) sample keyed on doc_id — membership is
+    splitmix64(key ^ seed) < rate*2^64, a pure per-row map (no shuffle, no
+    RNG state), so the sample is identical across runs/shardings/cluster
+    sizes AND exactly SQL-mirrorable (the oracle re-computes splitmix64 in
+    HUGEINT arithmetic)."""
+    from ..ops.sample import hash_sample
+
+    docs = _rp(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "lang", "source"])
+    return hash_sample(docs, key="doc_id", rate=rate)
+
+
 def q_doc_split(sf_dir: str) -> "rd.Dataset":
     """Deterministic train/val/test split (90/5/5) keyed on doc_id — a pure
     per-row map with NO shuffle, stable across runs/shardings/cluster sizes.

@@ -137,6 +137,13 @@ def test_quality_and_langid():
     assert out.loc[1, "lang_pred"] == "en"
     assert out.loc[2, "lang_pred"] == "fr"
     assert out.loc[1, "quality"] > out.loc[3, "quality"]
+    # micro-unit twins are exact quantizations of the float columns
+    # (the doc_quality oracle contract, __ray_entry__.py)
+    import numpy as np
+
+    assert (out["stop_micro"]
+            == np.floor(out["stopword_ratio"] * 1e6 + 0.5)).all()
+    assert (np.abs(out["quality_micro"] - out["quality"] * 1e6) <= 1).all()
 
 
 def test_rolling_fingerprint_shift_invariance():
