@@ -103,7 +103,9 @@ def run_bench(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
         runs = []
         # the headline gets one extra rep: multi-second co-tenant stalls
         # hit the long ER run far more often than the second-scale queries
-        for _ in range(max(1, n_rep) + 1):
+        # (GRAFT_ER_REPS overrides for profiling runs)
+        er_reps = int(os.environ.get("GRAFT_ER_REPS", max(1, n_rep) + 1))
+        for _ in range(er_reps):
             t0 = time.time()
             er()
             runs.append(round(time.time() - t0, 3))

@@ -69,6 +69,16 @@ class ERConfig:
     scorer_concurrency: int = 4  # actor-pool size; override per run
     join_partitions: int = 32
     max_cluster_rounds: int = 12
+    # modulo for int-bucketed groupby kernels (pairing census, label rounds,
+    # assignment merges). Deliberately FIXED and well above any CPU count:
+    # the sort-shuffle range-partitions distinct bucket values across reduce
+    # tasks, so bucket granularity — not partition count — bounds task
+    # balance. At hash_buckets == 4*join_partitions (the old coupling) the
+    # hottest reduce task held whole hot buckets and ran 6x the mean
+    # (measured: 0.9-6.1s spread at 8 CPUs), capping scaling efficiency;
+    # 256 buckets keep every reduce task statistically even at any
+    # parallelism while per-group kernel overhead (~0.3 ms) stays noise.
+    hash_buckets: int = 256
 
     def scaled(self, num_cpus: int) -> "ERConfig":
         """Derive per-run pool sizing from the session CPU budget.
@@ -80,15 +90,37 @@ class ERConfig:
         """
         from dataclasses import replace
 
-        # scorer pool sizes to (almost) the full CPU budget: the stages that
-        # run concurrently with it (exact-route passthrough, unions) are
-        # trivial maps, so an ncpu//2 pool would idle half the machine during
-        # the scoring wall (measured at every parallelism level).
+        # scorer pool sizes to the FULL CPU budget: the stages that run
+        # concurrently with it (exact-route passthrough, unions) are trivial
+        # maps that Ray Data interleaves into pool idle gaps, so an
+        # ncpu//2 pool would idle half the machine during the scoring wall
+        # (measured at every parallelism level). Full-budget (not ncpu-1):
+        # the pool fraction must be the SAME at every parallelism level or
+        # the higher level systematically underuses its budget — an ncpu-1
+        # pool is 50% of 2 CPUs but 97% of 32, which shows up directly as
+        # lost scaling efficiency.
         return replace(
             self,
-            scorer_concurrency=max(2, num_cpus - 1),
+            scorer_concurrency=max(2, num_cpus),
             join_partitions=max(2, min(num_cpus // 2, 16)),
         )
+
+    def semantic_repr(self) -> str:
+        """Stable repr of ONLY the fields that affect pipeline OUTPUTS.
+
+        Execution knobs (pool sizes, partition counts, batch sizes, scratch
+        paths, small-input collapse gates — all result-invariant by
+        construction: every gated fast path computes the same rows as the
+        distributed form) are excluded, so run fingerprints derived from
+        this survive cluster-size changes: a checkpointed run resumes, and
+        the consolidated-feature spill is reused, when the same inputs are
+        reprocessed at different parallelism."""
+        sem = (
+            "minhash_num_perm", "minhash_bands", "minhash_seed", "shingle_k",
+            "content_token_cap", "blocking_keys", "block_cap",
+            "w_jw", "w_tj", "w_lev", "score_threshold", "max_cluster_rounds",
+        )
+        return repr({k: getattr(self, k) for k in sem})
 
 
 def auto_config() -> "ERConfig":

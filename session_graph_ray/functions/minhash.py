@@ -81,6 +81,41 @@ class MinHasher:
         idx = np.arange(self.bands, dtype=np.uint64)
         return mix64(folded + (idx + np.uint64(1)) * _GOLDEN)
 
+    # ---- flat batch path (one numpy pass for a whole Arrow batch) --------
+
+    def signatures_flat(self, vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Batch form of ``signature_from_vals``: ``vals`` is the
+        concatenation of every row's shingle hashes, ``counts[i]`` how many
+        belong to row i. Returns (n_rows, num_perm) uint64 — bit-identical
+        to calling ``signature_from_vals`` per row (min is order-invariant;
+        empty rows get the same 0xFFFFFFFF sentinel signature).
+
+        Perms are processed in chunks of 8 so the (perm, shingle) temporary
+        stays ~64 MB per million shingles instead of 8x that."""
+        counts = np.asarray(counts, dtype=np.int64)
+        n = counts.size
+        sig = np.full((n, self.num_perm), 0xFFFFFFFF, dtype=np.uint64)
+        if vals.size == 0 or n == 0:
+            return sig
+        vals = np.asarray(vals, dtype=np.uint64)
+        nz = counts > 0
+        seg_starts = (np.cumsum(counts) - counts)[nz]
+        for p0 in range(0, self.num_perm, 8):
+            p1 = min(p0 + 8, self.num_perm)
+            hashed = (
+                self.a[p0:p1, None] * vals[None, :] + self.b[p0:p1, None]
+            ) >> np.uint64(32)
+            sig[nz, p0:p1] = np.minimum.reduceat(hashed, seg_starts, axis=1).T
+        return sig
+
+    def band_keys_u64_batch(self, sigs: np.ndarray) -> np.ndarray:
+        """Batch form of ``band_keys_u64``: (n_rows, num_perm) -> (n_rows,
+        bands), row-major identical to the per-row call."""
+        m = sigs.reshape(-1, self.bands, self.rows)
+        folded = (m * self.band_w[None, None, :]).sum(axis=2, dtype=np.uint64)
+        idx = np.arange(self.bands, dtype=np.uint64)
+        return mix64(folded + (idx[None, :] + np.uint64(1)) * _GOLDEN)
+
     # ---- string-shingle convenience (tests / fixtures / doc dedup) -------
 
     def signature(self, shingles: list[str]) -> np.ndarray:
@@ -108,6 +143,55 @@ def shingle_vals(token_hashes: np.ndarray, k: int = 3) -> np.ndarray:
     for j in range(k):  # k is tiny (3); the inner ops are vectorized
         acc = acc * np.uint64(1000003) + h[j : n - k + 1 + j]
     return mix64(acc)
+
+
+def _ranges_concat(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate [s, s+c) integer ranges (vectorized; same helper shape as
+    ops.pairing._ranges_concat, local to avoid a functions->ops import)."""
+    if counts.size == 0:
+        return np.empty(0, dtype=np.int64)
+    total = int(counts.sum())
+    off = np.repeat(starts, counts)
+    run_start = np.cumsum(counts) - counts
+    intra = np.arange(total, dtype=np.int64) - np.repeat(run_start, counts)
+    return off + intra
+
+
+def shingles_flat(
+    flat: np.ndarray, sizes: np.ndarray, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch form of ``shingle_vals``: ``flat`` concatenates every row's
+    token hashes, ``sizes[i]`` how many belong to row i. Returns
+    (shingle_vals_flat, shingle_counts) — row i's shingles are bit-identical
+    to ``shingle_vals(row_hashes_i, k)`` (short rows 0 < n < k fold all n
+    tokens into one shingle, exactly like the per-row kernel).
+
+    Windows never cross row boundaries: window start positions are generated
+    per row, so one global polynomial pass over ``flat`` computes every
+    row's windows at once."""
+    flat = np.asarray(flat, dtype=np.uint64)
+    sizes = np.asarray(sizes, dtype=np.int64)
+    counts = np.where(sizes > 0, np.maximum(sizes - k + 1, 1), 0).astype(np.int64)
+    out = np.empty(int(counts.sum()), dtype=np.uint64)
+    starts = np.cumsum(sizes) - sizes
+    out_starts = np.cumsum(counts) - counts
+    P = np.uint64(1000003)
+    full = sizes >= k
+    if full.any():
+        w_pos = _ranges_concat(starts[full], counts[full])
+        acc = np.zeros(w_pos.size, dtype=np.uint64)
+        for j in range(k):  # k is tiny (3); inner ops are vectorized
+            acc = acc * P + flat[w_pos + j]
+        out[_ranges_concat(out_starts[full], counts[full])] = mix64(acc)
+    short_sizes = np.unique(sizes[(sizes > 0) & (sizes < k)])
+    for L in short_sizes:  # <= k-1 distinct classes, each fully vectorized
+        rows = np.flatnonzero(sizes == L)
+        toks = flat[starts[rows][:, None] + np.arange(L)[None, :]]
+        acc = np.zeros(rows.size, dtype=np.uint64)
+        for j in range(int(L)):
+            acc = acc * P + toks[:, j]
+        out[out_starts[rows]] = mix64(acc)
+    return out, counts
 
 
 def jaccard(a: set[str], b: set[str]) -> float:

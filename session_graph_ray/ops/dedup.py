@@ -214,7 +214,7 @@ def _doc_keys_batch(
     pairs become a star, so 10k identical boilerplate docs cost 10k-1 pairs,
     not O(n^2)) plus MinHash-LSH band keys over word shingles (FAM_MH)."""
     from ..functions.hashing import hash64_np
-    from ..functions.minhash import shingle_vals
+    from ..functions.minhash import shingles_flat
     from ..stages.blocking import _hasher, _tag
     from .pairing import FAM_EXACT, FAM_MH, KEYS_SCHEMA
 
@@ -223,20 +223,18 @@ def _doc_keys_batch(
     texts = batch.column(text_col).to_pylist()
     n = len(texts)
     bands = mh.bands
-    band_keys = np.empty(n * bands, dtype=np.uint64)
-    sha = np.empty(n, dtype=np.uint64)
-    keep = np.ones(n, dtype=bool)
-    from ..functions.hashing import hash64_str
-
-    for i, t in enumerate(texts):
-        toks = _word_tokens(t or "")
-        if not toks:
-            keep[i] = False
-            sha[i] = 0
-            continue
-        sha[i] = hash64_str(t)  # order-sensitive exact-content identity
-        sig = mh.signature_from_vals(shingle_vals(hash64_np(toks), shingle_k))
-        band_keys[i * bands : (i + 1) * bands] = mh.band_keys_u64(sig)
+    # flat batch kernel (bit-identical to the old per-row loop): tokenize per
+    # row, ONE crc pass over the concatenated stream, global shingle pass,
+    # perm-chunked signature mins, batch band folds
+    toks = [_word_tokens(t or "") for t in texts]
+    sizes = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+    keep = sizes > 0
+    sha = np.where(
+        keep, hash64_np([t or "" for t in texts]), np.uint64(0)
+    ).astype(np.uint64)  # order-sensitive exact-content identity
+    flat_hashes = hash64_np([t for row in toks for t in row])
+    svals, scounts = shingles_flat(flat_hashes, sizes, shingle_k)
+    band_keys = mh.band_keys_u64_batch(mh.signatures_flat(svals, scounts)).reshape(-1)
     ki = np.flatnonzero(keep)
     if ki.size == 0:
         return KEYS_SCHEMA.empty_table()

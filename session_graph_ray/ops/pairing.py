@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -208,35 +209,44 @@ def pairs_from_keys(keys: "ray.data.Dataset", cfg: ERConfig) -> "ray.data.Datase
     """(block_key u64, file_id u64, fam i8, sha u64) -> deduped candidate
     pairs (id_a, id_b, block_key, fam, route) + ROUTE_METRIC sentinel rows.
 
-    Two int-keyed shuffles: key-bucket groupby (census+prune+chunk+pairs in
-    one kernel) and pair-bucket groupby (cross-key dedup — a pair found by
-    several fams is scored once, exact route preferred). ``B`` bounds
-    per-task memory; raise ``cfg.join_partitions`` for bigger corpora.
+    Two int-keyed exchanges (``ops.exchange`` scatter/gather; Ray's sort
+    shuffle above the volume gate): key-bucket (census+prune+chunk+pairs in
+    one kernel) and pair-bucket (cross-key dedup — a pair found by several
+    fams is scored once, exact route preferred). ``cfg.hash_buckets`` bounds
+    per-task memory AND balances reduce tasks: coarse buckets (the old
+    ``join_partitions*4``) made the hottest reduce task 6x the mean.
     """
-    B = cfg.join_partitions * 4
+    from .exchange import exchange_map_groups
 
-    def add_key_bucket(t: pa.Table) -> pa.Table:
+    B = cfg.hash_buckets
+
+    def key_bucket(t: pa.Table) -> np.ndarray:
         k = t.column("block_key").to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column("__bkt", pa.array((k % np.uint64(B)).astype(np.int32)))
+        return (k % np.uint64(B)).astype(np.int64)
 
-    raw = (
-        keys.map_batches(add_key_bucket, batch_format="pyarrow", batch_size=65536)
-        .groupby("__bkt")
-        .map_groups(_bucket_pairs_factory(cfg.block_cap), batch_format="pyarrow")
+    raw = exchange_map_groups(
+        keys,
+        _bucket_pairs_factory(cfg.block_cap),
+        None, B, PAIRS_SCHEMA.empty_table(), bucket_fn=key_bucket,
     )
 
-    def add_pair_bucket(t: pa.Table) -> pa.Table:
+    def pair_bucket(t: pa.Table) -> np.ndarray:
         a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
         b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
         r = t.column("route").to_numpy(zero_copy_only=False)
-        pb = ((a * _PAIR_MIX) ^ b) % np.uint64(B)
-        pb = pb.astype(np.int32)
-        pb[r == ROUTE_METRIC] = -1  # sentinels bypass dedup in their own group
-        return t.append_column("__pbkt", pa.array(pb))
+        pb = (((a * _PAIR_MIX) ^ b) % np.uint64(B)).astype(np.int64)
+        pb[r == ROUTE_METRIC] = -1  # sentinels bypass dedup (pass-through)
+        return pb
 
-    def dedup_bucket(g: pa.Table) -> pa.Table:
-        if g.column("__pbkt")[0].as_py() == -1:
-            return g.select(["id_a", "id_b", "block_key", "fam", "route"])
+    def dedup_kernel(g: pa.Table) -> pa.Table:
+        cols = ["id_a", "id_b", "block_key", "fam", "route"]
+        r_all = g.column("route").to_numpy(zero_copy_only=False).astype(np.int8)
+        sent = r_all == ROUTE_METRIC
+        passthrough = None
+        if sent.any():  # metric sentinel rows ride along undeduped
+            mask = pa.array(sent)
+            passthrough = g.filter(mask).select(cols)
+            g = g.filter(pc.invert(mask))
         a = g.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
         b = g.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
         k = g.column("block_key").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -245,7 +255,7 @@ def pairs_from_keys(keys: "ray.data.Dataset", cfg: ERConfig) -> "ray.data.Datase
         order = np.lexsort((b, a))
         a, b, k, f, r = a[order], b[order], k[order], f[order], r[order]
         starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-        return pa.table(
+        out = pa.table(
             {
                 "id_a": pa.array(a[starts], pa.uint64()),
                 "id_b": pa.array(b[starts], pa.uint64()),
@@ -253,13 +263,12 @@ def pairs_from_keys(keys: "ray.data.Dataset", cfg: ERConfig) -> "ray.data.Datase
                 "fam": pa.array(np.minimum.reduceat(f, starts), pa.int8()),
                 "route": pa.array(np.minimum.reduceat(r, starts), pa.int8()),
             }
-        )
+        ) if a.size else PAIRS_SCHEMA.empty_table()
+        return pa.concat_tables([passthrough, out]) if passthrough is not None else out
 
-    return (
-        raw.map_batches(add_pair_bucket, batch_format="pyarrow",
-                        batch_size=cfg.pair_batch_size)
-        .groupby("__pbkt")
-        .map_groups(dedup_bucket, batch_format="pyarrow")
+    return exchange_map_groups(
+        raw, dedup_kernel, None, B, PAIRS_SCHEMA.empty_table(),
+        bucket_fn=pair_bucket,
     )
 
 

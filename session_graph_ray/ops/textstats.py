@@ -157,7 +157,12 @@ class QualityScorer:
 def quality_scores(ds: "ray.data.Dataset", concurrency: int = 4) -> "ray.data.Dataset":
     return ds.map_batches(
         QualityScorer, batch_format="pyarrow", batch_size=2048,
-        concurrency=concurrency, num_cpus=1,
+        # autoscaling pool (min 1): a FIXED pool equal to the session CPU
+        # budget can reserve every slot before the upstream read task runs
+        # once — a scheduling deadlock observed at num_cpus=4 (pool idle,
+        # read never scheduled). min=1 reserves one slot; the pool grows
+        # into whatever the read/project stages aren't using.
+        concurrency=(1, concurrency), num_cpus=1,
     )
 
 

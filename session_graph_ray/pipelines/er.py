@@ -19,7 +19,6 @@ incomplete stage — the reference's watermark semantics
 
 from __future__ import annotations
 
-import dataclasses
 import glob
 from dataclasses import dataclass
 
@@ -51,7 +50,10 @@ class ERResult:
 
 
 def _cfg_fingerprint_extra(cfg: ERConfig) -> str:
-    return repr(dataclasses.asdict(cfg))
+    # semantic fields only: stage outputs are invariant to execution knobs
+    # (pool sizes, partition counts, gates), so a checkpointed run resumes —
+    # and the feature spill is reused — across cluster-size changes
+    return cfg.semantic_repr()
 
 
 def run_er_pipeline(

@@ -53,11 +53,9 @@ def _min_by_node(ds: "ray.data.Dataset", B: int) -> "ray.data.Dataset":
     bucket by ``node % B`` (one numpy mod), then per-bucket lexsort +
     ``np.minimum.reduceat`` — no per-key Python, no string shuffles."""
 
-    def add_bkt(t: pa.Table) -> pa.Table:
+    def node_bucket(t: pa.Table) -> np.ndarray:
         nodes = t.column("node").to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column(
-            "__bkt", pa.array((nodes % np.uint64(B)).astype(np.int32))
-        )
+        return (nodes % np.uint64(B)).astype(np.int64)
 
     def min_bucket(g: pa.Table) -> pa.Table:
         node = g.column("node").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -76,10 +74,11 @@ def _min_by_node(ds: "ray.data.Dataset", B: int) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        ds.map_batches(add_bkt, batch_format="pyarrow")
-        .groupby("__bkt")
-        .map_groups(min_bucket, batch_format="pyarrow")
+    from ..ops.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds, min_bucket, None, B, _LABELS_SCHEMA.empty_table(),
+        bucket_fn=node_bucket,
     )
 
 
@@ -93,7 +92,10 @@ def _join_msgs(
 ) -> "ray.data.Dataset":
     """(src, dst) ⋈ (node, label) on src==node -> (node=dst, label), as a
     tagged-union int-bucketed merge (same plan shape as ops.join.bucket_join,
-    specialized to uint64 keys and a projected output)."""
+    specialized to uint64 keys and a projected output). The label side also
+    passes through as (node, label) rows, so a round's min-reduce consumes
+    this operator's output directly — the labels table enters ONE shuffle
+    per round instead of two (the old ``msgs.union(labels)`` shape)."""
 
     def pad_edges(t: pa.Table) -> pa.Table:
         src = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -103,7 +105,6 @@ def _join_msgs(
                 "k": t.column("src"),
                 "dst": t.column("dst"),
                 "label": pa.nulls(n, pa.uint64()),
-                "__bkt": pa.array((src % np.uint64(B)).astype(np.int32)),
                 "__side": pa.array(np.zeros(n, dtype=np.int8)),
             }
         )
@@ -116,7 +117,6 @@ def _join_msgs(
                 "k": t.column("node"),
                 "dst": pa.nulls(n, pa.uint64()),
                 "label": t.column("label"),
-                "__bkt": pa.array((node % np.uint64(B)).astype(np.int32)),
                 "__side": pa.array(np.ones(n, dtype=np.int8)),
             }
         )
@@ -142,14 +142,26 @@ def _join_msgs(
         pos = np.searchsorted(lk, ek)
         pos_c = np.minimum(pos, lk.size - 1)
         hit = (pos < lk.size) & (lk[pos_c] == ek)
+        # matched messages + label-side passthrough (keeps every node's
+        # current label in play for the min-reduce without a second scan)
         return pa.table(
             {
-                "node": pa.array(edst[hit], pa.uint64()),
-                "label": pa.array(ll[pos_c[hit]], pa.uint64()),
+                "node": pa.array(np.concatenate([edst[hit], lk]), pa.uint64()),
+                "label": pa.array(np.concatenate([ll[pos_c[hit]], ll]), pa.uint64()),
             }
         )
 
-    return l2.union(r2).groupby("__bkt").map_groups(merge_bucket, batch_format="pyarrow")
+    from ..ops.exchange import exchange_map_groups
+
+    def k_bucket(t: pa.Table) -> np.ndarray:
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (k % np.uint64(B)).astype(np.int64)
+
+    msgs_schema = pa.schema([("node", pa.uint64()), ("label", pa.uint64())])
+    return exchange_map_groups(
+        l2.union(r2), merge_bucket, None, B, msgs_schema.empty_table(),
+        bucket_fn=k_bucket,
+    )
 
 
 def _propagate_driver(edges: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -231,7 +243,7 @@ def propagate_labels(
     )
     if n_bidir == 0:  # nothing to merge: all-singleton corpus
         return ray.data.from_arrow(_LABELS_SCHEMA.empty_table())
-    B = P * 4
+    B = cfg.hash_buckets
 
     def init_labels(batch: pa.Table) -> pa.Table:
         # seed with min(self, neighbors): equals the result of round 1 at no
@@ -248,14 +260,12 @@ def propagate_labels(
 
     trace = bool(os.environ.get("SGR_TRACE"))
     t0 = time.time()
-    # per-round repartition: a groupby's output block count is the sum of its
-    # inputs' — unbounded, the union of msgs+labels would grow it geometrically
-    # across rounds (16 -> 48 -> 112 -> 240 blocks measured), and shuffle cost
-    # scales with input blocks. Pinning to join_partitions keeps every round
-    # identically shaped.
+    # no per-round repartition needed: the exchange emits one block per
+    # gather partition, so every round is identically shaped by construction
+    # (the old groupby form grew block counts geometrically across rounds —
+    # 16 -> 48 -> 112 -> 240 measured — and needed a repartition barrier)
     labels = (
         _min_by_node(bidir.map_batches(init_labels, batch_format="pyarrow"), B)
-        .repartition(P)
         .materialize()
     )
     prev_sum = _checksum(labels)
@@ -265,12 +275,9 @@ def propagate_labels(
     converged = False
     for rnd in range(cfg.max_cluster_rounds):
         t0 = time.time()
+        # _join_msgs output already includes the label-side passthrough rows
         msgs = _join_msgs(bidir, labels.select_columns(["node", "label"]), B)
-        new_labels = (
-            _min_by_node(msgs.union(labels.select_columns(["node", "label"])), B)
-            .repartition(P)
-            .materialize()
-        )
+        new_labels = _min_by_node(msgs, B).materialize()
         new_sum = _checksum(new_labels)
         if trace:
             print(f"[labels] round {rnd}: {time.time() - t0:.2f}s", flush=True)
@@ -339,7 +346,7 @@ def assignments(
         return corpus_ids.select_columns(["file_id_u64"]).map_batches(
             map_assign, batch_format="pyarrow"
         )
-    B = cfg.join_partitions * 4
+    B = cfg.hash_buckets
 
     def pad_ids(t: pa.Table) -> pa.Table:
         ids = t.column("file_id_u64").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -348,7 +355,6 @@ def assignments(
             {
                 "k": t.column("file_id_u64"),
                 "label": pa.nulls(n, pa.uint64()),
-                "__bkt": pa.array((ids % np.uint64(B)).astype(np.int32)),
                 "__side": pa.array(np.zeros(n, dtype=np.int8)),
             }
         )
@@ -360,7 +366,6 @@ def assignments(
             {
                 "k": t.column("node"),
                 "label": t.column("label"),
-                "__bkt": pa.array((node % np.uint64(B)).astype(np.int32)),
                 "__side": pa.array(np.ones(n, dtype=np.int8)),
             }
         )
@@ -391,7 +396,19 @@ def assignments(
         pad_ids, batch_format="pyarrow"
     )
     r2 = labels.map_batches(pad_labels, batch_format="pyarrow")
-    return l2.union(r2).groupby("__bkt").map_groups(merge_bucket, batch_format="pyarrow")
+    from ..ops.exchange import exchange_map_groups
+
+    def k_bucket(t: pa.Table) -> np.ndarray:
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (k % np.uint64(B)).astype(np.int64)
+
+    out_schema = pa.schema(
+        [("file_id_u64", pa.uint64()), ("canonical_u64", pa.uint64())]
+    )
+    return exchange_map_groups(
+        l2.union(r2), merge_bucket, None, B, out_schema.empty_table(),
+        bucket_fn=k_bucket,
+    )
 
 
 def assignments_hex(assign_u64: "ray.data.Dataset") -> "ray.data.Dataset":

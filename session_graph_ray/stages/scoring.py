@@ -418,17 +418,26 @@ def score_pairs(
 
     # fast path: features fit the object store -> indexed scorer, no join
     if n_features <= cfg.feature_broadcast_limit:
+        import os
+        import time
+
+        t0 = time.time()
         feat_path = ray.get(
             _consolidate_features.remote(
                 feat.to_arrow_refs(), cfg.feature_spill_dir, spill_key
             )
         )
+        if os.environ.get("SGR_TRACE"):
+            print(f"[score] consolidate: {time.time() - t0:.2f}s", flush=True)
         fuzzy_scored = fuzzy_pairs.map_batches(
             IndexedPairScorer,
             fn_constructor_args=(cfg, feat_path),
             batch_format="pyarrow",
             batch_size=cfg.pair_batch_size,
-            concurrency=cfg.scorer_concurrency,
+            # autoscaling (min 2): a fixed pool == the CPU budget can grab
+            # every slot before the trivial route-filter maps run (observed
+            # scheduling deadlock shape, see ops/textstats.quality_scores)
+            concurrency=(min(2, cfg.scorer_concurrency), cfg.scorer_concurrency),
             num_cpus=1,
         )
         return exact_scored.union(fuzzy_scored)
@@ -452,11 +461,11 @@ def score_pairs(
         bucket_join(
             fuzzy_pairs.select_columns(["id_a", "id_b", "block_key"]),
             fa, left_on="id_a", right_on="fid_a",
-            num_buckets=cfg.join_partitions * 4,
+            num_buckets=cfg.hash_buckets,
             left_schema=pairs_schema, right_schema=_feat_schema("a"),
         ),
         fb, left_on="id_b", right_on="fid_b",
-        num_buckets=cfg.join_partitions * 4,
+        num_buckets=cfg.hash_buckets,
         left_schema=pa.schema(list(pairs_schema) + list(_feat_schema("a"))),
         right_schema=_feat_schema("b"),
     )
@@ -466,7 +475,7 @@ def score_pairs(
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.pair_batch_size,
-        concurrency=cfg.scorer_concurrency,
+        concurrency=(min(2, cfg.scorer_concurrency), cfg.scorer_concurrency),
         num_cpus=1,
     )
     return exact_scored.union(fuzzy_scored)

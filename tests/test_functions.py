@@ -107,3 +107,40 @@ def test_simhash_near_vs_far():
 def test_stable_bucket_range():
     assert 0 <= stable_bucket("anything", 7) < 7
     assert stable_bucket("k", 16) == crc32_str("k") % 16
+
+
+def test_flat_batch_minhash_bit_identical_to_per_row():
+    """The batch kernels (shingles_flat / signatures_flat /
+    band_keys_u64_batch) must be bit-identical to the per-row path they
+    replaced in the blocking stage — including empty rows (sentinel
+    signature) and short rows (0 < n < k fold all n tokens)."""
+    import numpy as np
+
+    from session_graph_ray.functions.hashing import hash64_np
+    from session_graph_ray.functions.minhash import (
+        MinHasher,
+        shingle_vals,
+        shingles_flat,
+    )
+
+    rng = np.random.RandomState(7)
+    mh = MinHasher(num_perm=64, bands=16, seed=42)
+    rows = []
+    for n in [0, 1, 2, 3, 4, 7, 50, 0, 1, 200]:
+        rows.append([f"tok{rng.randint(0, 30)}" for _ in range(n)])
+    k = 3
+    sizes = np.array([len(r) for r in rows], dtype=np.int64)
+    flat = hash64_np([t for r in rows for t in r])
+    svals, scounts = shingles_flat(flat, sizes, k)
+    sigs = mh.signatures_flat(svals, scounts)
+    bkeys = mh.band_keys_u64_batch(sigs)
+    off = 0
+    for i, r in enumerate(rows):
+        vals = shingle_vals(hash64_np(r), k)
+        assert scounts[i] == vals.size or (not r and scounts[i] == 0)
+        got = np.sort(svals[off : off + scounts[i]])
+        assert np.array_equal(got, np.sort(vals)), f"row {i} shingles differ"
+        off += scounts[i]
+        sig = mh.signature_from_vals(vals)
+        assert np.array_equal(sigs[i], sig), f"row {i} signature differs"
+        assert np.array_equal(bkeys[i], mh.band_keys_u64(sig)), f"row {i} bands"
