@@ -23,8 +23,10 @@ from __future__ import annotations
 import json
 import logging
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 
@@ -61,6 +63,16 @@ def run_bench(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
 
     _init_ray(num_cpus)
     cfg = ERConfig().scaled(num_cpus)
+    # hermetic runs (the scaling harness): an isolated spill dir means no
+    # consolidated-feature reuse from earlier processes — the timed job is
+    # a full from-scratch pipeline, which is what the N vs 4N criterion
+    # compares (a resumed/warm job skips a parallel stage and would make
+    # the two levels measure different work)
+    spill_override = os.environ.get("GRAFT_SPILL_DIR")
+    if spill_override:
+        from dataclasses import replace
+
+        cfg = replace(cfg, feature_spill_dir=spill_override)
 
     timings: dict[str, float] = {}
     extras: dict = {}
@@ -213,19 +225,30 @@ def run_scaling() -> dict:
     ensure_corpus(size)  # generate once (cached)
 
     def run(ncpu: int) -> dict:
+        # each subprocess: ONE cold from-scratch run in an isolated spill
+        # dir. Cross-process spill reuse (content-addressed fingerprints)
+        # would otherwise let later runs skip the consolidation stage —
+        # the levels must execute identical work for the ratio to mean
+        # anything (observed: asymmetric reuse swung draws by ±0.2).
+        spill = tempfile.mkdtemp(prefix="sgr_scaling_spill_")
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_ONLY="er_pipeline",
             GRAFT_BENCH_REPEAT="1",
+            GRAFT_ER_REPS="1",
             GRAFT_BENCH_SIZE=size,
+            GRAFT_SPILL_DIR=spill,
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+        finally:
+            shutil.rmtree(spill, ignore_errors=True)
 
     lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "8"))

@@ -7,6 +7,26 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 
+# ERConfig fields that are execution-only — result-invariant by
+# construction (every byte/row gate collapses to the same rows as the
+# distributed form; pool/partition/batch sizes change scheduling, never
+# output). Everything NOT listed here participates in semantic_repr() and
+# therefore in run fingerprints — new fields fail closed.
+_EXECUTION_KNOBS = frozenset({
+    "feature_broadcast_limit",
+    "feature_spill_dir",
+    "driver_cluster_max_edges",
+    "broadcast_assign_max_labels",
+    "incremental_broadcast_max_ids",
+    "broadcast_verify_max_pairs",
+    "batch_size",
+    "pair_batch_size",
+    "scorer_concurrency",
+    "join_partitions",
+    "hash_buckets",
+})
+
+
 @dataclass(frozen=True)
 class ERConfig:
     # --- blocking ---------------------------------------------------------
@@ -114,13 +134,19 @@ class ERConfig:
         distributed form) are excluded, so run fingerprints derived from
         this survive cluster-size changes: a checkpointed run resumes, and
         the consolidated-feature spill is reused, when the same inputs are
-        reprocessed at different parallelism."""
-        sem = (
-            "minhash_num_perm", "minhash_bands", "minhash_seed", "shingle_k",
-            "content_token_cap", "blocking_keys", "block_cap",
-            "w_jw", "w_tj", "w_lev", "score_threshold", "max_cluster_rounds",
-        )
-        return repr({k: getattr(self, k) for k in sem})
+        reprocessed at different parallelism.
+
+        DENYLIST, not allowlist, so it fails closed: a future field added
+        to ERConfig is fingerprint-relevant BY DEFAULT — forgetting to
+        classify it invalidates caches (a re-run), never silently reuses a
+        stale checkpoint computed under different semantics (wrong rows)."""
+        from dataclasses import fields
+
+        return repr({
+            f.name: getattr(self, f.name)
+            for f in fields(self)
+            if f.name not in _EXECUTION_KNOBS
+        })
 
 
 def auto_config() -> "ERConfig":

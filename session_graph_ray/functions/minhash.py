@@ -146,8 +146,9 @@ def shingle_vals(token_hashes: np.ndarray, k: int = 3) -> np.ndarray:
 
 
 def _ranges_concat(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Concatenate [s, s+c) integer ranges (vectorized; same helper shape as
-    ops.pairing._ranges_concat, local to avoid a functions->ops import)."""
+    """Concatenate [s, s+c) integer ranges -> one index array (fully
+    vectorized). Canonical home of the helper — ``ops.pairing`` imports it
+    from here (ops already depends on functions, never the reverse)."""
     if counts.size == 0:
         return np.empty(0, dtype=np.int64)
     total = int(counts.sum())

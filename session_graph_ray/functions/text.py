@@ -16,6 +16,9 @@ from __future__ import annotations
 import re
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+# above this many chars, content_tokens switches from whole-text findall to
+# an early-exit finditer scan (cap-bounded work on degenerate huge rows)
+_FINDALL_MAX_CHARS = 1 << 16
 _CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
 _NON_ALNUM_RE = re.compile(r"[^a-z0-9]+")
 _WS_RE = re.compile(r"\s+")
@@ -116,10 +119,16 @@ def token_shingles(tokens: list[str], k: int = 3) -> list[str]:
 def content_tokens(content: str, cap: int = 2000) -> list[str]:
     """Ordered (non-deduped) identifier stream of a text, for shingling.
 
-    ``findall`` + slice + lowercase listcomp: same first-``cap`` tokens as a
-    capped ``finditer`` loop, ~3x faster (the match loop ran per token in
-    Python; findall builds the list in C)."""
-    return [t.lower() for t in _IDENT_RE.findall(content)[:cap]]
+    Small texts: ``findall`` + slice (~3x faster than a per-match Python
+    loop — the list is built in C). Large texts: ``islice`` over
+    ``finditer`` so the scan STOPS at ``cap`` matches — the cap exists to
+    bound per-row cost, and a whole-document findall on a 50 MB minified
+    bundle would allocate millions of matches just to keep 2000."""
+    if len(content) <= _FINDALL_MAX_CHARS:
+        return [t.lower() for t in _IDENT_RE.findall(content)[:cap]]
+    from itertools import islice
+
+    return [m.group(0).lower() for m in islice(_IDENT_RE.finditer(content), cap)]
 
 
 def is_scorable_content(content: str | None, min_chars: int = 8) -> bool:

@@ -229,15 +229,16 @@ def _doc_keys_batch(
     toks = [_word_tokens(t or "") for t in texts]
     sizes = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
     keep = sizes > 0
-    sha = np.where(
-        keep, hash64_np([t or "" for t in texts]), np.uint64(0)
-    ).astype(np.uint64)  # order-sensitive exact-content identity
-    flat_hashes = hash64_np([t for row in toks for t in row])
-    svals, scounts = shingles_flat(flat_hashes, sizes, shingle_k)
-    band_keys = mh.band_keys_u64_batch(mh.signatures_flat(svals, scounts)).reshape(-1)
     ki = np.flatnonzero(keep)
     if ki.size == 0:
         return KEYS_SCHEMA.empty_table()
+    # crc only the KEPT texts — dropped rows (no word tokens: binary-ish /
+    # punctuation-only) can still be huge, and their hash is discarded
+    sha = np.zeros(n, dtype=np.uint64)
+    sha[ki] = hash64_np([texts[i] or "" for i in ki])
+    flat_hashes = hash64_np([t for row in toks for t in row])
+    svals, scounts = shingles_flat(flat_hashes, sizes, shingle_k)
+    band_keys = mh.band_keys_u64_batch(mh.signatures_flat(svals, scounts)).reshape(-1)
     bsel = (ki[:, None] * bands + np.arange(bands)[None, :]).ravel()
     keys = np.concatenate([_tag(sha[ki], FAM_EXACT), _tag(band_keys[bsel], FAM_MH)])
     fids = np.concatenate([ids[ki], np.repeat(ids[ki], bands)])

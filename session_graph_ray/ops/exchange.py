@@ -107,6 +107,7 @@ def exchange_map_groups(
     bucket_fn: Callable[[pa.Table], np.ndarray] | None = None,
     part_bytes: int = _PART_BYTES,
     max_bytes: int = _MAX_EXCHANGE_BYTES,
+    size_hint_bytes: int | None = None,
 ) -> "ray.data.Dataset":
     """Colocate complete bucket groups and apply ``kernel`` once per
     partition. ``kernel`` must be correct over any union of complete buckets
@@ -117,11 +118,17 @@ def exchange_map_groups(
 
     Falls back to ``groupby`` + ``map_groups(kernel)`` above ``max_bytes``
     (see module doc) — same results, streaming sort-shuffle machinery.
+    ``size_hint_bytes`` lets callers that know their volume route a huge
+    exchange to the streaming fallback WITHOUT materializing (and pinning)
+    the input first — at 100-TB scale the gate exists precisely so the
+    input is never pinned whole, so learning the size by materializing
+    would defeat it. Without a hint the size is only known after
+    ``materialize()``; the fallback then still streams the kernel but the
+    input has already been pinned once (lo-fi path, logged in module doc).
     """
-    mat = ds.materialize()  # executes (and pins) the upstream lineage
-    total = int(mat.size_bytes() or 0)  # metadata-only on a materialized ds
-    if total > max_bytes:
-        src, col = mat, bucket_col
+
+    def _fallback(src: "ray.data.Dataset") -> "ray.data.Dataset":
+        col = bucket_col
         if bucket_fn is not None:
             col = "__xbkt"
 
@@ -130,8 +137,15 @@ def exchange_map_groups(
                     col, pa.array(_bucket_ids(t, None, bucket_fn), pa.int64())
                 )
 
-            src = mat.map_batches(add_col, batch_format="pyarrow")
+            src = src.map_batches(add_col, batch_format="pyarrow")
         return src.groupby(col).map_groups(kernel, batch_format="pyarrow")
+
+    if size_hint_bytes is not None and size_hint_bytes > max_bytes:
+        return _fallback(ds)  # stays lazy: never pinned whole
+    mat = ds.materialize()  # executes (and pins) the upstream lineage
+    total = int(mat.size_bytes() or 0)  # metadata-only on a materialized ds
+    if total > max_bytes:
+        return _fallback(mat)
     refs = mat.to_arrow_refs()
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     P = int(min(num_buckets, max(ncpu, -(-total // part_bytes))))

@@ -44,6 +44,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import ERConfig
+from ..functions.minhash import _ranges_concat
 
 FAM_EXACT = 0
 FAM_STEM = 1
@@ -73,17 +74,6 @@ PAIRS_SCHEMA = pa.schema(
         ("route", pa.int8()),
     ]
 )
-
-
-def _ranges_concat(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Concatenate [s, s+c) ranges -> one index array (fully vectorized)."""
-    if counts.size == 0:
-        return np.empty(0, dtype=np.int64)
-    total = int(counts.sum())
-    off = np.repeat(starts, counts)
-    run_start = np.cumsum(counts) - counts
-    intra = np.arange(total, dtype=np.int64) - np.repeat(run_start, counts)
-    return off + intra
 
 
 def _all_pairs_idx(starts: np.ndarray, sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -113,6 +113,26 @@ def run_er_pipeline(
     features = stage(
         "features", lambda: features_view(normalize(corpus, batch_size=cfg.batch_size))
     )
+
+    # row count for the indexed-vs-join decision comes from the manifest /
+    # materialized metadata — NOT a lineage re-execution (round-1 finding)
+    if ckpt is not None and "rows" in metrics.get("features", {}):
+        n_feat = metrics["features"]["rows"]
+    else:
+        n_feat = features.count()
+
+    # kick off the consolidated-feature spill NOW (a single concat+sort+
+    # write task): it depends only on the features stage, so it runs hidden
+    # behind the whole blocking stage instead of serializing in front of
+    # the scorers (measured 16-22s of pure added wall at every CPU count)
+    feat_path_ref = None
+    if n_feat <= cfg.feature_broadcast_limit and not (
+        ckpt is not None and ckpt.is_done("scores", fp)
+    ):
+        from ..stages.scoring import consolidate_features_async
+
+        feat_path_ref = consolidate_features_async(features, cfg, spill_key=fp)
+
     pairs_raw = stage("pairs", lambda: candidate_pairs(
         # blocking needs content for shingling, but only the cheap core
         # normalization: re-derive from corpus (streaming; never materializes
@@ -126,17 +146,11 @@ def run_er_pipeline(
         # partition inventory (the "no silent caps" rule — SURVEY.md §7.4)
         ckpt.annotate("pairs", blocking_metrics)
 
-    # row count for the indexed-vs-join decision comes from the manifest /
-    # materialized metadata — NOT a lineage re-execution (round-1 finding)
-    if ckpt is not None and "rows" in metrics.get("features", {}):
-        n_feat = metrics["features"]["rows"]
-    else:
-        n_feat = features.count()
-
     # spill_key = the run fingerprint: a re-run over the same inputs + config
     # reuses the consolidated-feature spill file instead of rewriting it
     scores = stage("scores", lambda: score_pairs(
-        pairs, features, cfg, n_features=n_feat, spill_key=fp))
+        pairs, features, cfg, n_features=n_feat, spill_key=fp,
+        feat_path_ref=feat_path_ref))
     edges = stage("edges", lambda: match_edges(scores, cfg))
     if ckpt is not None and "rows" in metrics.get("edges", {}):
         n_edges = metrics["edges"]["rows"]

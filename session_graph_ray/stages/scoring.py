@@ -361,12 +361,51 @@ def _rename_for_side(ds: "ray.data.Dataset", side: str) -> "ray.data.Dataset":
     )
 
 
+def _pool_spec(cfg: ERConfig) -> tuple[int, int]:
+    """Scorer-pool (min, max): max = the full CPU budget, min = budget - 2.
+
+    The MIN actors are created unconditionally at operator start, bypassing
+    the reservation-aware autoscaler, and each holds its CPU for the pool's
+    lifetime. A floor equal to the whole budget therefore DEADLOCKS the
+    streaming executor: the task-pool operators sharing the stage
+    (ReadParquet of the materialized pairs, the exact-route map, a
+    checkpoint Write sink) can never get a slot — reproduced as a hard hang
+    at num_cpus=4 with (4, 4) and at num_cpus=2 with (2, 2). Scaling UP
+    past the floor goes through the reservation-aware path and does not
+    starve peers (observed: (2, 4) at 4 CPUs completes), so max stays the
+    full budget. Floor = budget - 2 (>=1) starts the pool near-full —
+    a floor of just 2 made the hottest stage ramp for tens of seconds at
+    high parallelism because each late actor re-pays the spill mmap +
+    index build (measured: scores 66.8s at 8 CPUs) — while always leaving
+    slots for the peer task ops at every level."""
+    return (max(1, cfg.scorer_concurrency - 2), cfg.scorer_concurrency)
+
+
+def consolidate_features_async(
+    features: "ray.data.Dataset",
+    cfg: ERConfig,
+    spill_key: str | None = None,
+):
+    """Launch the consolidated-feature spill build WITHOUT blocking and
+    return the ObjectRef of its path. The consolidation (concat + id-sort +
+    IPC write, a single ~15-20s task at bench scale) depends only on the
+    features stage, so callers that still have independent work to run —
+    the ER pipeline's entire blocking/pairs stage — kick it off first and
+    the serial task hides completely behind that wall. Pass the ref to
+    ``score_pairs(feat_path_ref=...)``."""
+    feat = features.select_columns(_FEATURE_COLS)
+    return _consolidate_features.remote(
+        feat.to_arrow_refs(), cfg.feature_spill_dir, spill_key
+    )
+
+
 def score_pairs(
     pairs: "ray.data.Dataset",
     features: "ray.data.Dataset",
     cfg: ERConfig,
     n_features: int | None = None,
     spill_key: str | None = None,
+    feat_path_ref=None,
 ) -> "ray.data.Dataset":
     """(id_a, id_b, block_key, fam, route) × features -> scored edges.
 
@@ -375,9 +414,12 @@ def score_pairs(
     feature lineage just to pick the indexed-vs-join path. ``spill_key``:
     content key for the consolidated-feature spill (the run's input
     fingerprint) — same inputs reuse the same file instead of rewriting it.
-    Returns every scored pair (thresholding is the caller's concern so the
-    scores table can be checkpointed *including* non-matches — the reference
-    caches negative results too, ``link_entities.py:283-329``).
+    ``feat_path_ref``: an in-flight consolidation launched earlier via
+    ``consolidate_features_async`` (overlapped with unrelated stages);
+    only consumed on the broadcast path. Returns every scored pair
+    (thresholding is the caller's concern so the scores table can be
+    checkpointed *including* non-matches — the reference caches negative
+    results too, ``link_entities.py:283-329``).
     """
     feat = features.select_columns(_FEATURE_COLS)
 
@@ -422,22 +464,19 @@ def score_pairs(
         import time
 
         t0 = time.time()
-        feat_path = ray.get(
-            _consolidate_features.remote(
+        if feat_path_ref is None:
+            feat_path_ref = _consolidate_features.remote(
                 feat.to_arrow_refs(), cfg.feature_spill_dir, spill_key
             )
-        )
+        feat_path = ray.get(feat_path_ref)
         if os.environ.get("SGR_TRACE"):
-            print(f"[score] consolidate: {time.time() - t0:.2f}s", flush=True)
+            print(f"[score] consolidate wait: {time.time() - t0:.2f}s", flush=True)
         fuzzy_scored = fuzzy_pairs.map_batches(
             IndexedPairScorer,
             fn_constructor_args=(cfg, feat_path),
             batch_format="pyarrow",
             batch_size=cfg.pair_batch_size,
-            # autoscaling (min 2): a fixed pool == the CPU budget can grab
-            # every slot before the trivial route-filter maps run (observed
-            # scheduling deadlock shape, see ops/textstats.quality_scores)
-            concurrency=(min(2, cfg.scorer_concurrency), cfg.scorer_concurrency),
+            concurrency=_pool_spec(cfg),
             num_cpus=1,
         )
         return exact_scored.union(fuzzy_scored)
@@ -475,7 +514,7 @@ def score_pairs(
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.pair_batch_size,
-        concurrency=(min(2, cfg.scorer_concurrency), cfg.scorer_concurrency),
+        concurrency=_pool_spec(cfg),
         num_cpus=1,
     )
     return exact_scored.union(fuzzy_scored)
