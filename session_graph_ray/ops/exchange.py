@@ -78,7 +78,10 @@ def _scatter(tbl: pa.Table, bucket_col, bucket_fn, B: int, P: int):
         e = tbl.slice(0, 0)
         return tuple(e for _ in range(P)) if P > 1 else e
     b = _bucket_ids(tbl, bucket_col, bucket_fn)
-    pid = np.clip(b, 0, None) * P // B
+    # % B defends against a caller handing raw keys instead of key % B:
+    # pid >= P would fall outside the searchsorted bounds below and the
+    # rows would vanish silently — a mod is one vectorized op
+    pid = (np.clip(b, 0, None) % B) * P // B
     order = np.argsort(pid, kind="stable")
     bounds = np.searchsorted(pid[order], np.arange(P + 1))
     idx = pa.array(order)
