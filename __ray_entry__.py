@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_docs": A.q_bm25_docs,
         "event_value_histogram": A.q_event_value_histogram,
         "returned_item_revenue": A.q_returned_item_revenue,
+        "cluster_components": A.q_cluster_components,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1022,6 +1023,27 @@ def oracle_sql() -> dict[str, str]:
               AND l_returnflag = 'R' AND c_nationkey = n_nationkey
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue_c DESC, c_custkey LIMIT 20
+        """,
+        # connected components over a planted chain graph: node x starts a
+        # component iff x % 8 == 0 or (x*48271) % 5 == 0 or x-1 is absent,
+        # so the min-reachable id (what distributed min-label propagation
+        # computes generically) collapses to a running window max in SQL
+        "cluster_components": """
+            SELECT doc_id,
+                   MAX(start_id) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS component_id
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 8 = 0
+                              OR (doc_id * 48271) % 5 = 0
+                              OR LAG(doc_id) OVER (ORDER BY doc_id)
+                                   IS DISTINCT FROM doc_id - 1
+                            THEN doc_id END AS start_id
+                FROM documents
+            )
+            ORDER BY doc_id
         """,
         # deterministic split: the bucket hash is (k*2654435761+seed) mod
         # 2^32 mod 100 on BOTH sides (HUGEINT avoids int64 overflow; numpy's

@@ -1734,3 +1734,64 @@ def q_returned_item_revenue(sf_dir: str) -> "rd.Dataset":
     return (out.select_columns(["c_custkey", "c_name", "n_name", "revenue_c"])
             .sort(["revenue_c", "c_custkey"], descending=[True, False])
             .limit(20))
+
+
+def q_cluster_components(sf_dir: str) -> "rd.Dataset":
+    """Generic distributed connected components (D2): the ER transitive-merge
+    machinery (``stages/clustering.propagate_labels`` — iterative min-label
+    propagation over the bucketed exchange, driver fastpath DISABLED) run
+    over a deterministic planted chain graph whose closure IS expressible in
+    ANSI SQL, upgrading union-find from pytest-pinned to oracle-checked.
+
+    Graph: node x starts a new component iff ``x % 8 == 0`` or
+    ``(x * 48271) % 5 == 0`` (or its predecessor id is absent), else it
+    chains to x-1. Components are therefore contiguous id runs (max
+    diameter 7) and the canonical min-reachable id is a running window max
+    over the start markers in SQL — while the Ray side executes the real
+    multi-round distributed propagation + assignments left-join used by the
+    ER pipeline (reference analog: the entity-merge walk,
+    ``/root/reference/pipeline/link_entities.py:857-879``)."""
+    from dataclasses import replace
+
+    from ..config import auto_config
+    from ..stages.clustering import assignments, propagate_labels
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        e = d + 1
+        keep = ~((e % 8 == 0) | ((e * 48271) % 5 == 0))
+        # the last row's edge points at a ghost node (max_id + 1, never in
+        # the corpus): harmless — min-label propagation only LOWERS labels,
+        # a ghost id above every real id cannot change a real node's label,
+        # and the assignments left-join never emits non-corpus nodes
+        return pa.table({
+            "id_a": pa.array(d[keep].astype(np.uint64), pa.uint64()),
+            "id_b": pa.array(e[keep].astype(np.uint64), pa.uint64()),
+        })
+
+    # chains have diameter up to 7 (vs the ER pipeline's O(1)-by-
+    # construction stars), so give propagation the round budget to reach
+    # the fixpoint + detect it; driver_cluster_max_edges=0 forces the
+    # distributed path even at test scale
+    cfg = replace(auto_config(), driver_cluster_max_edges=0,
+                  max_cluster_rounds=24)
+    labels = propagate_labels(docs.map_batches(edges, batch_format="pyarrow"),
+                              cfg)
+    ids = docs.map_batches(
+        lambda t: pa.table(
+            {"file_id_u64": pc.cast(t.column("doc_id"), pa.uint64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t.column("file_id_u64"), pa.int64()),
+            "component_id": pc.cast(t.column("canonical_u64"), pa.int64()),
+        })
+
+    return (assignments(ids, labels, cfg)
+            .map_batches(fmt, batch_format="pyarrow")
+            .sort("doc_id"))
