@@ -61,6 +61,56 @@ def _q_er_match_edges(sf_dir: str):
     return _er_result(sf_dir).edges.select_columns(["id_a", "id_b", "score"])
 
 
+def _q_er_link(sf_dir: str):
+    """Two-table record linkage (pipelines/linkage.py): reference = the
+    documents table mapped onto the corpus schema, dirty = every 3rd doc
+    re-identified (new path) with alternating exact / lightly-perturbed
+    content. Rows-only check (Jaro-Winkler scoring is not SQL-expressible);
+    precision/recall against planted truth is pinned by
+    tests/test_linkage.py on the fixture corpus."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from session_graph_ray.pipelines.linkage import run_er_link
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+    did = docs.column("doc_id").to_numpy(zero_copy_only=False)
+
+    def corpusify(t: pa.Table, suffix: str, content: pa.Array) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "repo": t.column("source"),
+            "path": pa.array([f"doc_{i}{suffix}.txt" for i in ids]),
+            "commit": pa.array(["0" * 8] * len(t)),
+            "lang": t.column("lang"),
+            "content": content,
+        })
+
+    ref_t = corpusify(docs, "", docs.column("text"))
+    dirty_rows = docs.filter(pa.array(did % 3 == 0))
+    ddid = dirty_rows.column("doc_id").to_numpy(zero_copy_only=False)
+    # alternate exact copies (sha route, score 1.0) and light perturbations
+    # (fuzzy route) — deterministic either way
+    perturbed = pc.binary_join_element_wise(
+        pc.cast(dirty_rows.column("text"), pa.string()),
+        pa.scalar(" revised edition"), pa.scalar(" "))
+    content = pc.if_else(pa.array(ddid % 2 == 0),
+                         pc.cast(dirty_rows.column("text"), pa.string()),
+                         perturbed)
+    dirty_t = corpusify(dirty_rows, "_incoming", content)
+
+    base = f"/tmp/sgr_linkq_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32)}"
+    os.makedirs(base, exist_ok=True)
+    ref_p, dirty_p = f"{base}/ref.parquet", f"{base}/dirty.parquet"
+    pq.write_table(ref_t, ref_p)
+    pq.write_table(dirty_t, dirty_p)
+    return run_er_link(ref_p, dirty_p).sort("dirty_file_id")
+
+
 def _q_er_incremental(sf_dir: str):
     """Incremental fold-in (reference's real-time loop): run the full
     pipeline on an ~80% deterministic subset of the corpus, then fold the
@@ -328,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
         "er_incremental": _q_er_incremental,
+        "er_link_tables": _q_er_link,
         "near_dedup_docs": _q_near_dedup_docs,
         "near_dedup_incremental": _q_near_dedup_incremental,
         "simhash_docs": _q_simhash_docs,
