@@ -363,6 +363,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_histogram": A.q_event_value_histogram,
         "returned_item_revenue": A.q_returned_item_revenue,
         "cluster_components": A.q_cluster_components,
+        "doc_pagerank": A.q_doc_pagerank,
+        "promo_revenue": A.q_promo_revenue,
+        "priority_line_counts": A.q_priority_line_counts,
+        "big_qty_orders": A.q_big_qty_orders,
+        "rich_idle_customers": A.q_rich_idle_customers,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1095,6 +1100,114 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             ORDER BY doc_id
+        """,
+        # integer PageRank, 3 unrolled iterations over the planted graph
+        # node x -> ((x*48271+i+1) % N), i in 0..x%3 (out-degree 1-3).
+        # Micro-unit ranks, int64 floor division per contribution: integer
+        # partial sums commute, so the Ray exchange and this SQL agree
+        # bit-for-bit; ghost dsts drop on both sides (LEFT JOIN from nodes)
+        "doc_pagerank": """
+            WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS node
+                           FROM documents),
+            nn AS (SELECT COUNT(*) AS cnt FROM documents),
+            edges AS (
+              SELECT n.node AS src,
+                     (n.node * 48271 + t.i + 1) % nn.cnt AS dst,
+                     (n.node % 3) + 1 AS deg
+              FROM nodes n, nn, range(3) t(i)
+              WHERE t.i <= n.node % 3
+            ),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+            c1 AS (SELECT e.dst AS node,
+                          SUM((850000 * r0.r) // (1000000 * e.deg)) AS s
+                   FROM edges e JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+            r1 AS (SELECT nodes.node,
+                          CAST(150000 + COALESCE(c1.s, 0) AS BIGINT) AS r
+                   FROM nodes LEFT JOIN c1 USING (node)),
+            c2 AS (SELECT e.dst AS node,
+                          SUM((850000 * r1.r) // (1000000 * e.deg)) AS s
+                   FROM edges e JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+            r2 AS (SELECT nodes.node,
+                          CAST(150000 + COALESCE(c2.s, 0) AS BIGINT) AS r
+                   FROM nodes LEFT JOIN c2 USING (node)),
+            c3 AS (SELECT e.dst AS node,
+                          SUM((850000 * r2.r) // (1000000 * e.deg)) AS s
+                   FROM edges e JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+            r3 AS (SELECT nodes.node,
+                          CAST(150000 + COALESCE(c3.s, 0) AS BIGINT) AS r
+                   FROM nodes LEFT JOIN c3 USING (node))
+            SELECT node AS doc_id, r AS rank_u FROM r3 ORDER BY doc_id
+        """,
+        # TPC-H Q14 shape: exact integer promo share (HUGEINT division on
+        # the SQL side, arbitrary-precision Python ints on the Ray side)
+        "promo_revenue": """
+            WITH j AS (
+              SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                                + 0.5) AS BIGINT) AS rev_c,
+                     p_type
+              FROM lineitem, part
+              WHERE l_partkey = p_partkey
+                AND l_shipdate >= DATE '1996-03-01'
+                AND l_shipdate < DATE '1996-04-01'
+            )
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c
+                                 ELSE 0 END) AS BIGINT) AS promo_rev_c,
+                   CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+                   CAST((SUM(CASE WHEN p_type = 'PROMO' THEN rev_c
+                                  ELSE 0 END) * 1000000)
+                        // SUM(rev_c) AS BIGINT) AS promo_share_u
+            FROM j
+        """,
+        # TPC-H Q12 shape: conditional aggregation after a fact-fact join
+        "priority_line_counts": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                   ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_lines,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                                   ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_lines
+            FROM lineitem, orders
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        # TPC-H Q18 shape: HAVING sum(qty) > 200 then join back to names
+        "big_qty_orders": """
+            WITH big AS (
+              SELECT l_orderkey AS ok,
+                     SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(total_qty AS BIGINT) AS total_qty
+            FROM big, orders, customer
+            WHERE o_orderkey = ok AND c_custkey = o_custkey
+            ORDER BY total_qty DESC, o_orderkey LIMIT 100
+        """,
+        # TPC-H Q22 shape: above-average balance (exact rational compare
+        # bal_c * n > sum_c) + NOT EXISTS urgent order, grouped by segment
+        "rich_idle_customers": """
+            WITH c AS (SELECT c_custkey, c_mktsegment,
+                              CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                                  AS bal_c
+                       FROM customer),
+            tot AS (SELECT SUM(bal_c) AS s, COUNT(*) AS n FROM c),
+            rich AS (SELECT c.* FROM c, tot WHERE c.bal_c * tot.n > tot.s),
+            lonely AS (
+              SELECT r.* FROM rich r
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = r.c_custkey
+                                  AND o.o_orderpriority = '1-URGENT')
+            )
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+            FROM lonely GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         # deterministic split: the bucket hash is (k*2654435761+seed) mod
         # 2^32 mod 100 on BOTH sides (HUGEINT avoids int64 overflow; numpy's

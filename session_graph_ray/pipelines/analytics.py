@@ -1795,3 +1795,271 @@ def q_cluster_components(sf_dir: str) -> "rd.Dataset":
     return (assignments(ids, labels, cfg)
             .map_batches(fmt, batch_format="pyarrow")
             .sort("doc_id"))
+
+
+def q_doc_pagerank(sf_dir: str) -> "rd.Dataset":
+    """Distributed integer PageRank (ops/pagerank.py) over a planted
+    deterministic graph on doc ids, exact against a 3-iteration unrolled SQL
+    oracle: node x emits (x % 3) + 1 edges to ((x*48271 + i + 1) % N) for
+    i in 0..x%3 — out-degrees 1-3 and a scrambled in-degree distribution.
+    Ranks are micro-units with int64 floor division per contribution, so
+    partial sums commute and the value-hash is exact (the same integer
+    contract as `doc_char_jaccard`/`bm25_docs`). The Ray side computes
+    out-degrees itself (one exchange) rather than trusting the plant."""
+    from ..ops.pagerank import pagerank
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()  # parquet metadata count — no scan
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = (d % 3 + 1).astype(np.int64)
+        src = np.repeat(d, reps)
+        offs = np.arange(len(src), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        dst = (src * 48271 + offs + 1) % n
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": pc.cast(t.column("doc_id"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    ranks = pagerank(docs.map_batches(edges, batch_format="pyarrow"),
+                     nodes, num_iters=3)
+    return ranks.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "rank_u": t.column("rank_u")}),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
+def q_promo_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q14 shape: promotion revenue share for one month. lineitem
+    (date sliver) joins part on partkey — part is the dim side, broadcast
+    under the house size gate, hash join past it — then TWO conditional
+    int64 partial sums reduce to driver scalars and the share is computed
+    as one exact integer division on arbitrary-precision Python ints (the
+    SQL side divides HUGEINTs; no float ratio ever exists on either side)."""
+    from ..ops.join import broadcast_join, hash_join
+
+    lo, hi = (pa.scalar(np.datetime64("1996-03-01", "us")),
+              pa.scalar(np.datetime64("1996-04-01", "us")))
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_partkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "rev_c": _cents(rev)})
+
+    li_m = li.map_batches(l_prep, batch_format="pyarrow", batch_size=65536)
+    part = _rp(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    part_mat = part.materialize()
+    if part_mat.count() <= 2_000_000:
+        joined = broadcast_join(li_m, part_mat.to_pandas(),
+                                left_on="l_partkey", right_on="p_partkey")
+    else:
+        joined = hash_join(li_m, part_mat, on="l_partkey",
+                           right_on="p_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t["rev_c"].to_numpy(zero_copy_only=False)
+        promo = pc.equal(t["p_type"], pa.scalar("PROMO")).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({
+            "p": pa.array([int(rev[promo].sum())], pa.int64()),
+            "t": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    agg = joined.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).aggregate(Sum("p", alias_name="promo"), Sum("t", alias_name="total"))
+    promo_c = int(agg["promo"] or 0)
+    total_c = int(agg["total"] or 0)
+    share_u = (promo_c * 1_000_000) // total_c if total_c else 0
+    return pa.table({
+        "promo_rev_c": pa.array([promo_c], pa.int64()),
+        "total_rev_c": pa.array([total_c], pa.int64()),
+        "promo_share_u": pa.array([share_u], pa.int64()),
+    })
+
+
+def q_priority_line_counts(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q12 shape (conditional aggregation after a fact-fact join):
+    1996-shipped lineitems join orders on orderkey; per linestatus, count
+    lines whose order is high-priority (1-URGENT / 2-HIGH) vs not. Both
+    sides are fact tables at scale, so the join is the bucketed hash join;
+    the CASE-WHEN counts collapse per batch to two int64 partials before
+    the 2-group groupby."""
+    from ..ops.join import hash_join
+
+    lo, hi = (pa.scalar(np.datetime64("1996-01-01", "us")),
+              pa.scalar(np.datetime64("1997-01-01", "us")))
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        t = t.filter(m)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linestatus": t["l_linestatus"]})
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(
+        li.map_batches(l_prep, batch_format="pyarrow", batch_size=65536),
+        orders, on="l_orderkey", right_on="o_orderkey",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        hi_m = pc.or_(pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT")),
+                      pc.equal(t["o_orderpriority"], pa.scalar("2-HIGH")))
+        hi_np = hi_m.to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t["l_linestatus"]
+        enc = pc.dictionary_encode(ls.combine_chunks()
+                                   if isinstance(ls, pa.ChunkedArray) else ls)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        high = np.bincount(codes, weights=hi_np, minlength=k).astype(np.int64)
+        tot = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.table({
+            "l_linestatus": enc.dictionary,
+            "high_lines": pa.array(high, pa.int64()),
+            "low_lines": pa.array(tot - high, pa.int64()),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("l_linestatus")
+            .aggregate(Sum("high_lines", alias_name="high_lines"),
+                       Sum("low_lines", alias_name="low_lines"))
+            .sort("l_linestatus"))
+
+
+def q_big_qty_orders(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q18 shape (HAVING filter then join back): per-order quantity
+    sums (bucketed vectorized reduce — orderkey is high-cardinality),
+    HAVING > 200, then the small surviving set joins back through orders
+    to customer names. Quantities are integral by construction, so the
+    sums are exact int64 (no float hash risk). Join-backs are size-gated
+    broadcasts with the hash-join fallback spelled out."""
+    from ..ops.join import broadcast_join, hash_join
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_quantity"])
+    B = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table({
+            "ok": pa.array(vals, pa.int64()),
+            "q": pa.array(sums),
+            "__bkt": pa.array((vals % B).astype(np.int32)),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        ok = g["ok"].to_numpy(zero_copy_only=False)
+        q = g["q"].to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        keep = sums > 200
+        return pa.table({"ok": pa.array(vals[keep], pa.int64()),
+                         "total_qty": pa.array(sums[keep])})
+
+    big = (li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("__bkt").map_groups(combine, batch_format="pyarrow")
+           .materialize())
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey"])
+    # the HAVING survivors are a sliver of orders — broadcast them into the
+    # orders scan below the gate; at 100-TB the filtered side can still be
+    # huge, hence the hash-join fallback
+    if big.count() <= 2_000_000:
+        ord_big = broadcast_join(orders, big.to_pandas(),
+                                 left_on="o_orderkey", right_on="ok")
+    else:
+        ord_big = hash_join(orders, big, on="o_orderkey", right_on="ok")
+
+    cust = _rp(f"{sf_dir}/customer.parquet",
+               columns=["c_custkey", "c_name"])
+    cust_mat = cust.materialize()
+    if cust_mat.count() <= 2_000_000:
+        out = broadcast_join(ord_big, cust_mat.to_pandas(),
+                             left_on="o_custkey", right_on="c_custkey")
+    else:
+        out = hash_join(ord_big, cust_mat, on="o_custkey",
+                        right_on="c_custkey")
+    return (out.select_columns(["c_custkey", "c_name", "o_orderkey",
+                                "total_qty"])
+            .sort(["total_qty", "o_orderkey"], descending=[True, False])
+            .limit(100))
+
+
+def q_rich_idle_customers(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q22 shape (scalar subquery + anti-join + grouped aggregate):
+    customers with above-average account balance and NO urgent order, per
+    market segment. The global average is an exact integer comparison
+    (bal_c * n > sum_c — no float mean exists on either side; the SQL
+    oracle compares the same rationals), computed by one Sum/Count
+    aggregate whose result broadcasts into the filter closure. The NOT
+    EXISTS goes through the bloom-split anti-join (definite-no rows never
+    shuffle)."""
+    from ..ops.bloom import bloom_semi_join
+
+    cust = _rp(f"{sf_dir}/customer.parquet",
+               columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_mktsegment": t["c_mktsegment"],
+                         "bal_c": _cents(t["c_acctbal"])})
+
+    cust_c = cust.map_batches(c_prep, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+    agg = cust_c.aggregate(Sum("bal_c", alias_name="s"),
+                           Count(alias_name="n"))
+    s, n = int(agg["s"] or 0), int(agg["n"] or 0)
+
+    rich = cust_c.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["bal_c"], pa.scalar(n, pa.int64())),
+            pa.scalar(s, pa.int64()))),
+        batch_format="pyarrow",
+    )
+
+    urgent = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow", batch_size=65536,
+    ).materialize()
+
+    lonely = bloom_semi_join(
+        rich, urgent, "c_custkey", "o_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_mktsegment", pa.string()),
+                               ("bal_c", pa.int64())]),
+        anti=True,
+    )
+    return (lonely.groupby("c_mktsegment")
+            .aggregate(Count(alias_name="n_cust"),
+                       Sum("bal_c", alias_name="total_bal_c"))
+            .sort("c_mktsegment"))
