@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_line_counts": A.q_priority_line_counts,
         "big_qty_orders": A.q_big_qty_orders,
         "rich_idle_customers": A.q_rich_idle_customers,
+        "label_centroids": A.q_label_centroids,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1208,6 +1209,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
                    CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
             FROM lonely GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        # per-label embedding centroid in micro-units: quantize-then-sum is
+        # exact int64; the floor division subtracts the non-negative residue
+        # first so DuckDB's truncating // matches numpy's floor on negatives
+        "label_centroids": """
+            WITH q AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) AS dim,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                                + 0.5) AS BIGINT) AS vu
+              FROM embeddings
+            ),
+            a AS (SELECT label, dim, SUM(vu) AS s, COUNT(*) AS n
+                  FROM q GROUP BY label, dim)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   CAST((s - ((s % n) + n) % n) // n AS BIGINT)
+                       AS centroid_u
+            FROM a ORDER BY label, dim
         """,
         # deterministic split: the bucket hash is (k*2654435761+seed) mod
         # 2^32 mod 100 on BOTH sides (HUGEINT avoids int64 overflow; numpy's

@@ -430,3 +430,69 @@ def knn_graph(
         )
 
     return partials.groupby("qid").map_groups(final, batch_format="pyarrow")
+
+
+def group_centroids(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    vec_col: str = "embedding",
+    scale_u: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-group mean embedding in exact integer micro-units (the training-
+    data shape: per-language / per-cluster centroids as quality priors).
+
+    Each component is quantized as ``floor(float64(v) * scale_u + 0.5)``
+    BEFORE summing, so the per-group per-dimension sums are int64 and
+    commute across any partitioning — the same exactness contract as every
+    other value-hashed kernel here (a float mean would hash differently
+    per partition order). The batch kernel is one zero-copy (n, d) view +
+    a label-sorted ``np.add.reduceat``; partials are (groups x d) long-form
+    rows, so the shuffle moves O(#groups * d) ints per batch, never
+    vectors. The final floor division happens after the Sum aggregate.
+
+    Output: (group_col, dim [1-based], centroid_u) sorted by (group, dim).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _vecs_np(t.column(vec_col))
+        if m.size == 0:
+            return pa.table({
+                group_col: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        q = np.floor(m * float(scale_u) + 0.5).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        g, q = g[order], q[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        sums = np.add.reduceat(q, starts, axis=0)
+        counts = np.diff(np.r_[starts, len(g)])
+        k, d = sums.shape
+        return pa.table({
+            group_col: pa.array(np.repeat(g[starts], d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+            "s": pa.array(sums.ravel(), pa.int64()),
+            "n": pa.array(np.repeat(counts.astype(np.int64), d), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby([group_col, "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            group_col: t.column(group_col),
+            "dim": t.column("dim"),
+            "centroid_u": pa.array(s // n, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        [group_col, "dim"]
+    )

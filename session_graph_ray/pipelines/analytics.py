@@ -2063,3 +2063,22 @@ def q_rich_idle_customers(sf_dir: str) -> "rd.Dataset":
             .aggregate(Count(alias_name="n_cust"),
                        Sum("bal_c", alias_name="total_bal_c"))
             .sort("c_mktsegment"))
+
+
+def q_label_centroids(sf_dir: str) -> "rd.Dataset":
+    """Per-label embedding centroid (ops/similarity.group_centroids) in
+    exact integer micro-units: components quantize to int64 BEFORE the sum
+    so the result is partition-order-free; the final floor division is
+    mirrored in SQL with the truncation-safe residue formula (DuckDB's
+    ``//`` truncates toward zero, numpy floors — subtracting the
+    non-negative residue first makes them agree on negatives)."""
+    from ..ops.similarity import group_centroids
+
+    emb = _rp(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    out = group_centroids(emb, group_col="label", vec_col="embedding")
+    return out.map_batches(
+        lambda t: pa.table({"label": pc.cast(t.column("label"), pa.int64()),
+                            "dim": t.column("dim"),
+                            "centroid_u": t.column("centroid_u")}),
+        batch_format="pyarrow",
+    )

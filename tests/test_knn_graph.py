@@ -119,3 +119,40 @@ def test_knn_graph_tied_sims_break_by_id():
     )
     a0 = approx[approx["vec_id"] == 0]["neighbor_id"].tolist()
     assert a0 == [1, 2, 3, 4, 5], a0
+
+
+def test_group_centroids_exact_and_partition_free(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from session_graph_ray.ops.similarity import group_centroids
+
+    rng = np.random.RandomState(3)
+    n, d = 200, 8
+    g = rng.randint(0, 5, n).astype(np.int64)
+    m = (rng.randn(n, d) * 2).astype(np.float32)  # negatives exercised
+    tbl = pa.table({
+        "label": pa.array(g),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float32()), d
+        ),
+    })
+
+    def ref():
+        q = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        out = {}
+        for lab in np.unique(g):
+            s = q[g == lab].sum(axis=0)
+            cnt = int((g == lab).sum())
+            for dim in range(d):
+                out[(int(lab), dim + 1)] = int(s[dim]) // cnt
+        return out
+
+    want = ref()
+    for parts in (1, 13):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = group_centroids(ds, "label").to_pandas()
+        gotd = {(int(r.label), int(r.dim)): int(r.centroid_u)
+                for r in got.itertuples()}
+        assert gotd == want
