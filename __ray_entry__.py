@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_qty_orders": A.q_big_qty_orders,
         "rich_idle_customers": A.q_rich_idle_customers,
         "label_centroids": A.q_label_centroids,
+        "centroid_assign": A.q_centroid_assign,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1228,6 +1229,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST((s - ((s % n) + n) % n) // n AS BIGINT)
                        AS centroid_u
             FROM a ORDER BY label, dim
+        """,
+        # nearest-centroid assignment: exact int64 squared L2 over the same
+        # quantized components and centroids as label_centroids; ties break
+        # to the smallest label (row_number order matches numpy argmin's
+        # first-occurrence rule over label-sorted centroids)
+        "centroid_assign": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     generate_subscripts(embedding, 1) AS dim,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                                + 0.5) AS BIGINT) AS vu
+              FROM embeddings
+            ),
+            a AS (SELECT label, dim, SUM(vu) AS s, COUNT(*) AS n
+                  FROM q GROUP BY label, dim),
+            c AS (SELECT label, dim,
+                         CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS cu
+                  FROM a),
+            d AS (SELECT q.vec_id, c.label AS cand,
+                         SUM((q.vu - c.cu) * (q.vu - c.cu)) AS dist
+                  FROM q JOIN c ON q.dim = c.dim
+                  GROUP BY q.vec_id, c.label)
+            SELECT vec_id, cand AS assigned, CAST(dist AS BIGINT) AS dist_q
+            FROM d
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cand) = 1
+            ORDER BY vec_id
         """,
         # deterministic split: the bucket hash is (k*2654435761+seed) mod
         # 2^32 mod 100 on BOTH sides (HUGEINT avoids int64 overflow; numpy's

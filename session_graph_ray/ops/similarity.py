@@ -496,3 +496,62 @@ def group_centroids(
     return agg.map_batches(finish, batch_format="pyarrow").sort(
         [group_col, "dim"]
     )
+
+
+def assign_to_centroids(
+    ds: "ray.data.Dataset",
+    centroids: "pa.Table",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale_u: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Nearest-centroid assignment (the k-means assign step / centroid
+    classifier) with EXACT integer distances: both the vector and the
+    centroid are quantized to micro-units, so the squared L2 distance is
+    an int64 and the argmin has no float-comparison ambiguity. Ties break
+    to the smallest centroid id.
+
+    ``centroids`` is the long-form (group, dim, centroid_u) table that
+    ``group_centroids`` emits — a few KB even for thousands of groups; it
+    rides into the batch closure (driver-held broadcast: at 100-TB the
+    vector side streams, the centroid side is O(groups x dims))."""
+    g = centroids.column(group_col).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    dim = centroids.column("dim").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    cu = centroids.column("centroid_u").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    labels = np.unique(g)
+    d = int(dim.max())
+    C = np.zeros((len(labels), d), dtype=np.int64)
+    pos = np.searchsorted(labels, g)
+    C[pos, dim - 1] = cu
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = _vecs_np(t.column(vec_col))
+        q = np.floor(m * float(scale_u) + 0.5).astype(np.int64)
+        # (n, k) exact int64 squared distances; ||q||^2 is constant per row
+        # so argmin needs only ||c||^2 - 2 q.c — but that matmul can exceed
+        # int64 at extreme norms, so compute the full diff form chunked
+        n = q.shape[0]
+        out = np.empty(n, dtype=np.int64)
+        dist = np.empty(n, dtype=np.int64)
+        step = 4096
+        for s in range(0, n, step):
+            blk = q[s:s + step]
+            diff = blk[:, None, :] - C[None, :, :]
+            dd = np.einsum("nkd,nkd->nk", diff, diff)
+            a = dd.argmin(axis=1)  # first occurrence = smallest label
+            out[s:s + step] = labels[a]
+            dist[s:s + step] = dd[np.arange(len(blk)), a]
+        return pa.table({
+            id_col: t.column(id_col),
+            "assigned": pa.array(out, pa.int64()),
+            "dist_q": pa.array(dist, pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)

@@ -2082,3 +2082,27 @@ def q_label_centroids(sf_dir: str) -> "rd.Dataset":
                             "centroid_u": t.column("centroid_u")}),
         batch_format="pyarrow",
     )
+
+
+def q_centroid_assign(sf_dir: str) -> "rd.Dataset":
+    """k-means assign step with an exact integer oracle: per-label centroids
+    (ops/similarity.group_centroids) broadcast into a nearest-centroid scan
+    (ops/similarity.assign_to_centroids). Distances are int64 squared L2
+    over micro-unit quantized components — no float argmin ambiguity; ties
+    break to the smallest label on both sides."""
+    from ..ops.similarity import assign_to_centroids, group_centroids
+
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "label", "embedding"])
+    cents = group_centroids(
+        emb.select_columns(["label", "embedding"]),
+        group_col="label", vec_col="embedding",
+    )
+    # the centroid table is O(groups x dims) — a driver pull of a few KB
+    # (the broadcast small side; the vector scan below streams)
+    cent_tbl = pa.concat_tables(
+        list(cents.iter_batches(batch_format="pyarrow"))
+    )
+    return assign_to_centroids(
+        emb.select_columns(["vec_id", "embedding"]), cent_tbl
+    ).sort("vec_id")

@@ -156,3 +156,31 @@ def test_group_centroids_exact_and_partition_free(ray_session):
         gotd = {(int(r.label), int(r.dim)): int(r.centroid_u)
                 for r in got.itertuples()}
         assert gotd == want
+
+
+def test_assign_to_centroids_tie_breaks_to_smallest_label(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from session_graph_ray.ops.similarity import assign_to_centroids
+
+    # two identical centroids (labels 3 and 7): ties must go to 3
+    cents = pa.table({
+        "label": pa.array([3] * 2 + [7] * 2, pa.int64()),
+        "dim": pa.array([1, 2, 1, 2], pa.int64()),
+        "centroid_u": pa.array([1_000_000, 0, 1_000_000, 0], pa.int64()),
+    })
+    vecs = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array([1.0, 0.0, -1.0, 0.5], pa.float32()), 2
+        ),
+    })
+    out = assign_to_centroids(
+        ray.data.from_arrow(vecs), cents
+    ).to_pandas().set_index("vec_id")
+    assert out.loc[0, "assigned"] == 3 and out.loc[0, "dist_q"] == 0
+    assert out.loc[1, "assigned"] == 3
+    # exact integer distance: (-1e6 - 1e6)^2 + (5e5)^2
+    assert out.loc[1, "dist_q"] == 2_000_000**2 + 500_000**2
