@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_idle_customers": A.q_rich_idle_customers,
         "label_centroids": A.q_label_centroids,
         "centroid_assign": A.q_centroid_assign,
+        "latest_user_events": A.q_latest_user_events,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1256,6 +1257,15 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY vec_id
                                        ORDER BY dist, cand) = 1
             ORDER BY vec_id
+        """,
+        # CDC/upsert compaction: newest row per key by (ts, event_id)
+        "latest_user_events": """
+            SELECT user_id, event_id, ts, event_type,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY user_id
         """,
         # deterministic split: the bucket hash is (k*2654435761+seed) mod
         # 2^32 mod 100 on BOTH sides (HUGEINT avoids int64 overflow; numpy's

@@ -155,6 +155,12 @@ def run_bench(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
     timed("doc_pii_redact", lambda: A.q_doc_pii_redact(sf_dir).materialize())
     timed("local_supplier_revenue",
           lambda: A.q_local_supplier_revenue(sf_dir).materialize())
+    timed("doc_pagerank", lambda: A.q_doc_pagerank(sf_dir).materialize())
+    timed("centroid_assign",
+          lambda: A.q_centroid_assign(sf_dir).materialize())
+    timed("latest_user_events",
+          lambda: A.q_latest_user_events(sf_dir).materialize())
+    timed("big_qty_orders", lambda: A.q_big_qty_orders(sf_dir).materialize())
 
     headline = timings.get("er_pipeline", sum(timings.values()))
     return {

@@ -2106,3 +2106,35 @@ def q_centroid_assign(sf_dir: str) -> "rd.Dataset":
     return assign_to_centroids(
         emb.select_columns(["vec_id", "embedding"]), cent_tbl
     ).sort("vec_id")
+
+
+def q_latest_user_events(sf_dir: str) -> "rd.Dataset":
+    """CDC/upsert compaction (ops/compact.latest_per_key): the newest event
+    row per user — max (ts, event_id) — with every payload column riding
+    through the take untouched. The oracle is the canonical QUALIFY
+    row_number() = 1 window; `value` travels as exact cents."""
+    from ..ops.compact import latest_per_key
+
+    ev = _rp(f"{sf_dir}/events.parquet",
+             columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+            "event_type": t["event_type"],
+            "value_c": _cents(t["value"]),
+        })
+
+    schema = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("event_type", pa.string()),
+        ("value_c", pa.int64()),
+    ])
+    out = latest_per_key(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        key_col="user_id", order_col="ts", tiebreak_col="event_id",
+        schema=schema,
+    )
+    return out.sort("user_id")
