@@ -371,6 +371,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": A.q_label_centroids,
         "centroid_assign": A.q_centroid_assign,
         "latest_user_events": A.q_latest_user_events,
+        "cust_order_distribution": A.q_cust_order_distribution,
+        "user_top_event_type": A.q_user_top_event_type,
+        "user_rolling_value_1h": A.q_user_rolling_value_1h,
+        "small_qty_revenue": A.q_small_qty_revenue,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1266,6 +1270,56 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts DESC, event_id DESC) = 1
             ORDER BY user_id
+        """,
+        # TPC-H Q13 shape: left-outer join + double aggregation (k = 0 kept)
+        "cust_order_distribution": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+                SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+                FROM customer c LEFT OUTER JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                  AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # grouped mode: most frequent event_type per user, ties -> smallest
+        "user_top_event_type": """
+            SELECT user_id, event_type AS top_type, cnt FROM (
+                SELECT user_id, event_type, COUNT(*) AS cnt,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY COUNT(*) DESC,
+                                                   event_type ASC) AS rn
+                FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        # time-range window: trailing 1-hour sum per user, peers included
+        "user_rolling_value_1h": """
+            SELECT event_id, user_id, ts,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS roll_c
+            FROM events
+            ORDER BY event_id
+        """,
+        # TPC-H Q17 shape: correlated per-part average, exact integer
+        # cross-multiplication (qty < 0.2*avg  <=>  5*qty*cnt < sum)
+        "small_qty_revenue": """
+            SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev_c,
+                   COUNT(*) AS n
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_brand = 'Brand#13'
+            JOIN (SELECT l_partkey,
+                         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                             AS sq,
+                         COUNT(*) AS cnt
+                  FROM lineitem GROUP BY l_partkey) a
+              ON a.l_partkey = l.l_partkey
+            WHERE 5 * CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) * a.cnt
+                  < a.sq
         """,
         # deterministic split: the bucket hash is (k*2654435761+seed) mod
         # 2^32 mod 100 on BOTH sides (HUGEINT avoids int64 overflow; numpy's

@@ -72,6 +72,80 @@ def grouped_quantile_disc(
     )
 
 
+def grouped_mode(
+    ds: "ray.data.Dataset",
+    key: str,
+    value: str,
+    out_value: str = "mode",
+    out_count: str = "cnt",
+    num_buckets: int = 256,
+    value_type: pa.DataType | None = None,
+) -> "ray.data.Dataset":
+    """Exact mode per group: the most frequent ``value`` for each ``key``,
+    ties broken by the lexicographically smallest value (a deterministic
+    total order — the same contract as SQL ``row_number() OVER (PARTITION BY
+    key ORDER BY count(*) DESC, value ASC) = 1``).
+
+    Scale shape: per-batch Arrow ``group_by(key, value).count`` compresses
+    the stream to partial ``(key, value, cnt)`` triples BEFORE any exchange
+    (the pre-aggregation-before-shuffle rule — shuffle volume is bounded by
+    distinct pairs per batch, not rows), then one bucketed exchange on
+    ``key % B`` whose kernel re-combines counts and picks the per-key-run
+    argmax with one lexsort — no per-key Python.
+
+    ``key`` must be integer-typed; ``value`` string or integer.
+    ``value_type`` pins the output value type without a ``.schema()``
+    introspection call (which would execute the input lineage).
+    """
+    B = num_buckets
+    vtype = value_type or pa.string()
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = (
+            t.select([key, value])
+            .group_by([key, value])
+            .aggregate([([], "count_all")])
+        )
+        return c.rename_columns([key, value, "cnt"])
+
+    def bucket_fn(t: pa.Table) -> np.ndarray:
+        k = t.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (k % np.uint64(B)).astype(np.int64)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        c = g.group_by([key, value]).aggregate([("cnt", "sum")])
+        k = c.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = c.column("cnt_sum").to_numpy(zero_copy_only=False)
+        vals = c.column(value)
+        # value codes in lexical order: np.unique sorts, so code order ==
+        # value order and the lexsort tiebreak is exact
+        varr = vals.to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(varr, return_inverse=True)
+        order = np.lexsort((codes, -cnt, k))
+        ks = k[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        pick = order[starts]
+        return pa.table(
+            {
+                key: pa.array(k[pick], pa.int64()),
+                out_value: vals.take(pa.array(pick)),
+                out_count: pa.array(cnt[pick].astype(np.int64)),
+            }
+        )
+
+    from .exchange import exchange_map_groups
+
+    partials = ds.select_columns([key, value]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    )
+    empty = pa.schema(
+        [(key, pa.int64()), (out_value, vtype), (out_count, pa.int64())]
+    ).empty_table()
+    return exchange_map_groups(partials, kernel, None, B, empty, bucket_fn=bucket_fn)
+
+
 def _ntile_of_rank(ranks: np.ndarray, n: int, k: int) -> np.ndarray:
     """SQL ntile(k): first ``n % k`` tiles get ``n//k + 1`` rows."""
     size_small = n // k

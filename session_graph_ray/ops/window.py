@@ -19,6 +19,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ..config import ERConfig
+
 
 def sliding_rows_sum(
     ds: "ray.data.Dataset",
@@ -49,4 +51,84 @@ def sliding_rows_sum(
         ds.select_columns([key, order, value])
         .groupby(key)
         .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def sliding_time_sum(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    window_us: int,
+    schema: pa.Schema,
+    out_col: str = "roll_c",
+    cfg: ERConfig | None = None,
+) -> "ray.data.Dataset":
+    """Per key, per row: sum of ``val_col`` over the time interval
+    ``[ts - window_us, ts]`` — SQL ``RANGE BETWEEN <w> PRECEDING AND
+    CURRENT ROW`` frame semantics, peers (equal timestamps) included on
+    both ends. All input columns ride through; ``out_col`` (int64) is
+    appended. ``schema`` is the INPUT schema (pins empty partitions).
+
+    Shape: one bucketed exchange on ``key % B``, then a per-partition
+    kernel that is one lexsort + one cumsum + two ``searchsorted`` calls —
+    no per-row or per-key Python. Cross-key bleed inside the flat sorted
+    array is prevented by rebasing each key run onto a strictly monotone
+    axis with ``window + 1`` gaps between runs, so a window probe can never
+    cross a run boundary. The rebase is exact int64; if the per-partition
+    sum of run spans would overflow (≈ 3×10^5 key-years of microseconds per
+    bucket), the kernel falls back to per-run ``searchsorted`` slices.
+
+    ``val_col`` must be int64 (the engine's micro-unit contract — exact,
+    order-independent sums); ``ts_col`` int64 or timestamp.
+    """
+    cfg = cfg or ERConfig()
+    B = cfg.hash_buckets
+    out_schema = schema.append(pa.field(out_col, pa.int64()))
+    w = np.int64(window_us)
+
+    def bucket_fn(t: pa.Table) -> np.ndarray:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (k % np.uint64(B)).astype(np.int64)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        k = g.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g.column(ts_col).to_numpy(zero_copy_only=False)
+        t = t.view("i8") if t.dtype.kind == "M" else t.astype(np.int64)
+        v = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((t, k))
+        ks, ts, vs = k[order], t[order], v[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], len(ks)]
+        run_of = np.repeat(np.arange(len(starts)), ends - starts)
+        spans = (ts[ends - 1] - ts[starts]).astype(np.uint64)
+        total = spans.sum(dtype=np.uint64) + np.uint64(len(starts)) * (
+            np.uint64(w) + np.uint64(1)
+        )
+        cs = np.cumsum(vs)
+        if total < np.uint64(2) ** np.uint64(62):
+            # rebase run r onto [base_r, base_r + span_r] with w+1 gaps:
+            # strictly monotone across runs, exact within them
+            base = np.zeros(len(starts), dtype=np.int64)
+            base[1:] = np.cumsum(spans.astype(np.int64) + w + 1)[:-1]
+            m = ts - ts[starts][run_of] + base[run_of]
+            lo = np.searchsorted(m, m - w, side="left")
+            hi = np.searchsorted(m, m, side="right")
+        else:  # pathological span×keys volume: per-run exact slices
+            lo = np.empty(len(ks), dtype=np.int64)
+            hi = np.empty(len(ks), dtype=np.int64)
+            for s, e in zip(starts, ends):
+                seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - w, side="left")
+                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        roll = cs[hi - 1] - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        out = g.take(pa.array(order))
+        return out.append_column(out_col, pa.array(roll, pa.int64()))
+
+    from .exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds, kernel, None, B, out_schema.empty_table(), bucket_fn=bucket_fn
     )

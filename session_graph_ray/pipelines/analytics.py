@@ -2138,3 +2138,193 @@ def q_latest_user_events(sf_dir: str) -> "rd.Dataset":
         schema=schema,
     )
     return out.sort("user_id")
+
+
+def q_cust_order_distribution(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q13 shape: left-outer join + double aggregation — how many
+    customers placed k non-urgent orders, INCLUDING k = 0 (the row the
+    inner-join plans silently drop). Plan: orders pre-aggregate to per-
+    customer counts (the only exchange carries (custkey, cnt) partials, not
+    order rows), then the bucketed LEFT OUTER join against the customer key
+    column preserves order-less customers as nulls -> 0, and the final
+    distribution is a tiny grouped count."""
+    from ..ops.exchange import exchange_map_groups
+    from ..ops.join import bucket_join
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_orderpriority"])
+    urgent = pa.scalar("1-URGENT")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderpriority"], urgent))
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(ck, return_counts=True)
+        return pa.table({"ck": pa.array(vals, pa.int64()),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    def combine(g: pa.Table) -> pa.Table:
+        ck = g["ck"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(ck, return_inverse=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, cnt)
+        return pa.table({"ck": pa.array(vals, pa.int64()),
+                         "cnt": pa.array(sums)})
+
+    cnt_schema = pa.schema([("ck", pa.int64()), ("cnt", pa.int64())])
+
+    def bucket_fn(t: pa.Table) -> np.ndarray:
+        k = t.column("ck").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (k % np.uint64(256)).astype(np.int64)
+
+    per_cust = exchange_map_groups(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536),
+        combine, None, 256, cnt_schema.empty_table(), bucket_fn=bucket_fn,
+    )
+
+    cust = _rp(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    joined = bucket_join(
+        cust, per_cust, left_on="c_custkey", right_on="ck", how="left",
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=cnt_schema,
+    )
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        c = pc.fill_null(t["cnt"], 0).to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(c, return_counts=True)
+        return pa.table({"c_count": pa.array(vals, pa.int64()),
+                         "custdist": pa.array(cnts.astype(np.int64))})
+
+    return (joined.map_batches(dist_partial, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("c_count")
+            .aggregate(Sum("custdist", alias_name="custdist"))
+            .sort(["custdist", "c_count"], descending=[True, True]))
+
+
+def q_user_top_event_type(sf_dir: str) -> "rd.Dataset":
+    """Grouped mode (ops/rank.grouped_mode): each user's most frequent
+    event_type with its count, ties to the lexicographically smallest type —
+    the exact row_number() OVER (ORDER BY count DESC, value ASC) = 1
+    contract, computed with pre-aggregated (key, value, cnt) partials and
+    one bucketed exchange."""
+    from ..ops.rank import grouped_mode
+
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return grouped_mode(
+        ev, key="user_id", value="event_type",
+        out_value="top_type", out_count="cnt",
+    ).sort("user_id")
+
+
+def q_user_rolling_value_1h(sf_dir: str) -> "rd.Dataset":
+    """Time-range windowed aggregate (ops/window.sliding_time_sum): per
+    event, the sum of value-cents over the user's trailing 1-hour interval —
+    SQL RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW, peers
+    included. One bucketed exchange + a lexsort/cumsum/searchsorted kernel;
+    exact int64 cents end-to-end."""
+    from ..ops.window import sliding_time_sum
+
+    ev = _rp(f"{sf_dir}/events.parquet",
+             columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"], "value_c": _cents(t["value"]),
+        })
+
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("value_c", pa.int64()),
+    ])
+    out = sliding_time_sum(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        key_col="user_id", ts_col="ts", val_col="value_c",
+        window_us=3_600_000_000, schema=schema, out_col="roll_c",
+    )
+    return out.sort("event_id")
+
+
+def q_small_qty_revenue(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q17 shape: correlated-average filter — revenue from Brand#13
+    line items whose quantity is below 20% of that part's average quantity.
+    Exactness: qty < 0.2 * (sum/cnt) is evaluated as the integer cross-
+    multiplication 5 * qty_c * cnt < sum_qty_c (no float division on either
+    side). Plan: the brand's part keys broadcast into the lineitem scan
+    (part is the dim side); per-part (sum, cnt) stats reduce from per-batch
+    partials and broadcast back (|brand parts| = |part|/25 — kilobytes at
+    test scale, ~25 MB of int64s at TPC-H SF100k); the second scan filters
+    and sums in one pass. No fact-table shuffle at any point."""
+    import ray
+
+    part = _rp(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+
+    def pk_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["p_brand"], pa.scalar("Brand#13")))
+        return t.select(["p_partkey"])
+
+    pkeys = np.sort(
+        pa.concat_tables(
+            ray.get(part.map_batches(pk_only, batch_format="pyarrow")
+                    .to_arrow_refs())
+        )["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    pk_ref = ray.put(pkeys)
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        keys = _r.get(pk_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "sq": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        pos = np.minimum(np.searchsorted(keys, pk), len(keys) - 1)
+        m = keys[pos] == pk
+        pk, qty = pk[m], _cents(t["l_quantity"]).to_numpy()[m]
+        vals, inv = np.unique(pk, return_inverse=True)
+        sq = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sq, inv, qty)
+        cnt = np.bincount(inv, minlength=len(vals)).astype(np.int64)
+        return pa.table({"pk": pa.array(vals), "sq": pa.array(sq),
+                         "cnt": pa.array(cnt)})
+
+    stats = (li.map_batches(stats_partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("pk")
+             .aggregate(Sum("sq", alias_name="sq"),
+                        Sum("cnt", alias_name="cnt"))
+             .to_pandas())
+    st_order = np.argsort(stats["pk"].to_numpy())
+    st_ref = ray.put((stats["pk"].to_numpy()[st_order],
+                      stats["sq"].to_numpy()[st_order],
+                      stats["cnt"].to_numpy()[st_order]))
+
+    def probe(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        spk, ssq, scnt = _r.get(st_ref)
+        if len(spk) == 0:
+            return pa.table({"rev_c": pa.array([0], pa.int64()),
+                             "n": pa.array([0], pa.int64())})
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(spk, pk), len(spk) - 1)
+        m = spk[pos] == pk
+        qty = _cents(t["l_quantity"]).to_numpy()[m]
+        price = _cents(t["l_extendedprice"]).to_numpy()[m]
+        sq, cnt = ssq[pos[m]], scnt[pos[m]]
+        keep = 5 * qty * cnt < sq
+        return pa.table({"rev_c": pa.array([int(price[keep].sum())]),
+                         "n": pa.array([int(keep.sum())])})
+
+    agg = (li.map_batches(probe, batch_format="pyarrow", batch_size=65536)
+           .aggregate(Sum("rev_c", alias_name="rev_c"),
+                      Sum("n", alias_name="n")))
+    return rd.from_arrow(pa.table({"rev_c": pa.array([agg["rev_c"]], pa.int64()),
+                                   "n": pa.array([agg["n"]], pa.int64())}))
