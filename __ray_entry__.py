@@ -375,6 +375,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event_type": A.q_user_top_event_type,
         "user_rolling_value_1h": A.q_user_rolling_value_1h,
         "small_qty_revenue": A.q_small_qty_revenue,
+        "user_event_gaps": A.q_user_event_gaps,
+        "repeat_customers_1995_1996": A.q_repeat_customers_1995_1996,
+        "lapsed_customers_1995": A.q_lapsed_customers_1995,
+        "sales_rollup": A.q_sales_rollup,
+        "epoch_shuffle_head": A.q_epoch_shuffle_head,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1320,6 +1325,61 @@ def oracle_sql() -> dict[str, str]:
               ON a.l_partkey = l.l_partkey
             WHERE 5 * CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) * a.cnt
                   < a.sq
+        """,
+        # LAG window: microseconds since the user's previous event, -1 first
+        "user_event_gaps": """
+            SELECT event_id, user_id, ts,
+                   COALESCE(CAST(date_diff('microsecond',
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), ts) AS BIGINT),
+                       -1) AS gap_us
+            FROM events
+            ORDER BY event_id
+        """,
+        # distinct set INTERSECT: customers ordering in both 1995 and 1996
+        "repeat_customers_1995_1996": """
+            SELECT custkey FROM (
+                SELECT DISTINCT o_custkey AS custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate <  TIMESTAMP '1996-01-01'
+                INTERSECT
+                SELECT DISTINCT o_custkey AS custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01')
+            ORDER BY custkey
+        """,
+        # distinct set EXCEPT: ordered in 1995 but not in 1996
+        "lapsed_customers_1995": """
+            SELECT custkey FROM (
+                SELECT DISTINCT o_custkey AS custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate <  TIMESTAMP '1996-01-01'
+                EXCEPT
+                SELECT DISTINCT o_custkey AS custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01')
+            ORDER BY custkey
+        """,
+        # GROUP BY ROLLUP with 'ALL' markers (null-free value hash)
+        "sales_rollup": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COALESCE(o_orderstatus, 'ALL') AS status,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev_c,
+                   COUNT(*) AS n
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY priority, status
+        """,
+        # deterministic epoch shuffle: first 100 of the hash-sorted order
+        # (same exactly-mirrorable Knuth hash contract as the split oracle)
+        "epoch_shuffle_head": """
+            SELECT event_id,
+                   CAST((CAST(event_id AS HUGEINT) * 2654435761 + 7)
+                        % 4294967296 AS BIGINT) AS shuffle_key
+            FROM events
+            ORDER BY shuffle_key, event_id
+            LIMIT 100
         """,
         # deterministic split: the bucket hash is (k*2654435761+seed) mod
         # 2^32 mod 100 on BOTH sides (HUGEINT avoids int64 overflow; numpy's

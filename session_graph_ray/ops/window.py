@@ -132,3 +132,58 @@ def sliding_time_sum(
     return exchange_map_groups(
         ds, kernel, None, B, out_schema.empty_table(), bucket_fn=bucket_fn
     )
+
+
+def grouped_lag(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    schema: pa.Schema,
+    out_col: str = "prev",
+    cfg: ERConfig | None = None,
+) -> "ray.data.Dataset":
+    """``LAG(value_col) OVER (PARTITION BY key ORDER BY order, tiebreak)``:
+    appends ``out_col`` (nullable int64) holding the previous row's value
+    within the key's (order, tiebreak) sequence; null on each key's first
+    row. ``tiebreak_col`` unique per key makes the order total, so the
+    result is deterministic. Same shape as the other window kernels: one
+    bucketed exchange, one lexsort, one shift — no per-row Python.
+
+    ``value_col`` must cast losslessly to int64 (ints, timestamps)."""
+    cfg = cfg or ERConfig()
+    B = cfg.hash_buckets
+    out_schema = schema.append(pa.field(out_col, pa.int64()))
+
+    def bucket_fn(t: pa.Table) -> np.ndarray:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (k % np.uint64(B)).astype(np.int64)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        k = g.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        o = g.column(order_col).to_numpy(zero_copy_only=False)
+        o = o.view("i8") if o.dtype.kind == "M" else o.astype(np.int64)
+        tb = g.column(tiebreak_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        v = g.column(value_col).to_numpy(zero_copy_only=False)
+        v = v.view("i8") if v.dtype.kind == "M" else v.astype(np.int64)
+        order = np.lexsort((tb, o, k))
+        ks, vs = k[order], v[order]
+        prev = np.empty(len(vs), dtype=np.int64)
+        prev[1:] = vs[:-1]
+        first = np.r_[True, ks[1:] != ks[:-1]]
+        out = g.take(pa.array(order))
+        return out.append_column(
+            out_col, pa.array(np.where(first, 0, prev), pa.int64(),
+                              mask=first)
+        )
+
+    from .exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds, kernel, None, B, out_schema.empty_table(), bucket_fn=bucket_fn
+    )

@@ -2328,3 +2328,132 @@ def q_small_qty_revenue(sf_dir: str) -> "rd.Dataset":
                       Sum("n", alias_name="n")))
     return rd.from_arrow(pa.table({"rev_c": pa.array([agg["rev_c"]], pa.int64()),
                                    "n": pa.array([agg["n"]], pa.int64())}))
+
+
+def q_user_event_gaps(sf_dir: str) -> "rd.Dataset":
+    """LAG window (ops/window.grouped_lag): per event, microseconds since
+    the same user's previous event (ordered by ts with event_id as the
+    total-order tiebreak), -1 on each user's first event. One bucketed
+    exchange + one lexsort; the lagged value is exact int64 microseconds."""
+    from ..ops.window import grouped_lag
+
+    ev = _rp(f"{sf_dir}/events.parquet",
+             columns=["event_id", "ts", "user_id"])
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+    ])
+    lagged = grouped_lag(
+        ev, key_col="user_id", order_col="ts", tiebreak_col="event_id",
+        value_col="ts", schema=schema, out_col="prev_ts",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        gap = pc.fill_null(pc.subtract(ts, t["prev_ts"]), -1)
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts": t["ts"], "gap_us": gap})
+
+    return (lagged.map_batches(finish, batch_format="pyarrow",
+                               batch_size=65536)
+            .sort("event_id"))
+
+
+def _custkeys_by_year(sf_dir: str, year: int) -> "rd.Dataset":
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_orderdate"])
+    lo = pa.scalar(np.datetime64(f"{year}-01-01", "us"))
+    hi = pa.scalar(np.datetime64(f"{year + 1}-01-01", "us"))
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        return t.filter(m).select(["o_custkey"])
+
+    return orders.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def q_repeat_customers_1995_1996(sf_dir: str) -> "rd.Dataset":
+    """Distinct set INTERSECT (ops/setops.key_set_op): customers who ordered
+    in BOTH 1995 and 1996. Each side ships per-batch DISTINCT keys tagged
+    with a side bit; one bucketed exchange ORs the bits per key."""
+    from ..ops.setops import key_set_op
+
+    out = key_set_op(
+        _custkeys_by_year(sf_dir, 1995), _custkeys_by_year(sf_dir, 1996),
+        left_key="o_custkey", right_key="o_custkey",
+        op="intersect", out_col="custkey",
+    )
+    return out.sort("custkey")
+
+
+def q_lapsed_customers_1995(sf_dir: str) -> "rd.Dataset":
+    """Distinct set EXCEPT (ops/setops.key_set_op): customers who ordered in
+    1995 but not in 1996 — same machinery as the intersect, mask = left-bit
+    only."""
+    from ..ops.setops import key_set_op
+
+    out = key_set_op(
+        _custkeys_by_year(sf_dir, 1995), _custkeys_by_year(sf_dir, 1996),
+        left_key="o_custkey", right_key="o_custkey",
+        op="except", out_col="custkey",
+    )
+    return out.sort("custkey")
+
+
+def q_sales_rollup(sf_dir: str) -> "rd.Dataset":
+    """GROUP BY ROLLUP(priority, status) in one scan: each batch aggregates
+    the finest (priority, status) grouping vectorized, then REPLAYS those
+    partials for the (priority, ALL) and (ALL, ALL) sets — the shuffle
+    carries 3x the (tiny) distinct-group count, never 3x the rows. NULL
+    rollup markers travel as the literal 'ALL' (COALESCE'd identically in
+    the oracle) so the value hash is null-free."""
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pa.table({
+            "priority": t["o_orderpriority"],
+            "status": t["o_orderstatus"],
+            "rev_c": _cents(t["o_totalprice"]),
+        })
+        fine = (base.group_by(["priority", "status"])
+                .aggregate([("rev_c", "sum"), ([], "count_all")])
+                .rename_columns(["priority", "status", "rev_c", "n"]))
+        allc = pa.array(np.repeat("ALL", fine.num_rows), pa.string())
+        mid = fine.set_column(1, "status", allc)
+        top = mid.set_column(0, "priority", allc)
+        return pa.concat_tables([fine, mid, top])
+
+    return (orders.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby(["priority", "status"])
+            .aggregate(Sum("rev_c", alias_name="rev_c"),
+                       Sum("n", alias_name="n"))
+            .sort(["priority", "status"]))
+
+
+def q_epoch_shuffle_head(sf_dir: str) -> "rd.Dataset":
+    """Deterministic epoch shuffle, first 100: training-data epoch order is
+    'sort by keyed hash' — stable across runs, re-shardings and cluster
+    sizes, and exactly SQL-mirrorable ((k*2654435761+7) mod 2^32, the same
+    hash contract as hash_split). The global head-100 never sorts the
+    corpus: each batch keeps its 100 smallest (hash, id) pairs via one
+    lexsort, and only those partials meet for the final top-k."""
+    from ..ops.sample import _KNUTH
+
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["event_id"])
+    K = 100
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((k * np.uint64(_KNUTH) + np.uint64(7))
+             & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        order = np.lexsort((k.astype(np.int64), h))[:K]
+        return pa.table({"event_id": pa.array(k[order].astype(np.int64)),
+                         "shuffle_key": pa.array(h[order])})
+
+    return (ev.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .sort(["shuffle_key", "event_id"])
+            .limit(K))
