@@ -375,7 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event_type": A.q_user_top_event_type,
         "user_rolling_value_1h": A.q_user_rolling_value_1h,
         "small_qty_revenue": A.q_small_qty_revenue,
-        "user_event_gaps": A.q_user_event_gaps,
+        "event_gap_lag": A.q_event_gap_lag,
         "repeat_customers_1995_1996": A.q_repeat_customers_1995_1996,
         "lapsed_customers_1995": A.q_lapsed_customers_1995,
         "sales_rollup": A.q_sales_rollup,
@@ -1327,7 +1327,7 @@ def oracle_sql() -> dict[str, str]:
                   < a.sq
         """,
         # LAG window: microseconds since the user's previous event, -1 first
-        "user_event_gaps": """
+        "event_gap_lag": """
             SELECT event_id, user_id, ts,
                    COALESCE(CAST(date_diff('microsecond',
                        LAG(ts) OVER (PARTITION BY user_id

@@ -161,6 +161,10 @@ def run_bench(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
     timed("latest_user_events",
           lambda: A.q_latest_user_events(sf_dir).materialize())
     timed("big_qty_orders", lambda: A.q_big_qty_orders(sf_dir).materialize())
+    timed("user_rolling_value_1h",
+          lambda: A.q_user_rolling_value_1h(sf_dir).materialize())
+    timed("cust_order_distribution",
+          lambda: A.q_cust_order_distribution(sf_dir).materialize())
 
     headline = timings.get("er_pipeline", sum(timings.values()))
     return {

@@ -2330,7 +2330,7 @@ def q_small_qty_revenue(sf_dir: str) -> "rd.Dataset":
                                    "n": pa.array([agg["n"]], pa.int64())}))
 
 
-def q_user_event_gaps(sf_dir: str) -> "rd.Dataset":
+def q_event_gap_lag(sf_dir: str) -> "rd.Dataset":
     """LAG window (ops/window.grouped_lag): per event, microseconds since
     the same user's previous event (ordered by ts with event_id as the
     total-order tiebreak), -1 on each user's first event. One bucketed
