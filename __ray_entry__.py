@@ -379,6 +379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_customers_1995_1996": A.q_repeat_customers_1995_1996,
         "lapsed_customers_1995": A.q_lapsed_customers_1995,
         "sales_rollup": A.q_sales_rollup,
+        "customer_year_activity": A.q_customer_year_activity,
+        "events_unpivot": A.q_events_unpivot,
+        "monthly_revenue_delta": A.q_monthly_revenue_delta,
         "epoch_shuffle_head": A.q_epoch_shuffle_head,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
@@ -1359,6 +1362,47 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
                   AND o_orderdate <  TIMESTAMP '1997-01-01')
             ORDER BY custkey
+        """,
+        # FULL OUTER join of two per-customer yearly aggregates
+        "customer_year_activity": """
+            SELECT COALESCE(a.ck, b.ck) AS custkey,
+                   COALESCE(a.n, 0) AS n_1995,
+                   COALESCE(b.n, 0) AS n_1996
+            FROM (SELECT o_custkey AS ck, COUNT(*) AS n FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                    AND o_orderdate <  TIMESTAMP '1996-01-01'
+                  GROUP BY 1) a
+            FULL OUTER JOIN
+                 (SELECT o_custkey AS ck, COUNT(*) AS n FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                    AND o_orderdate <  TIMESTAMP '1997-01-01'
+                  GROUP BY 1) b
+              ON a.ck = b.ck
+            ORDER BY custkey
+        """,
+        # melt of the wide per-day pivot: the day x type grid, zero-filled
+        "events_unpivot": """
+            SELECT d.day, t.event_type, COALESCE(x.s, 0) AS sum_value_c
+            FROM (SELECT DISTINCT date_trunc('day', ts) AS day
+                  FROM events) d
+            CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+            LEFT JOIN (SELECT date_trunc('day', ts) AS day, event_type,
+                              CAST(SUM(CAST(FLOOR(value * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT) AS s
+                       FROM events GROUP BY 1, 2) x
+              ON x.day = d.day AND x.event_type = t.event_type
+            ORDER BY d.day, t.event_type
+        """,
+        # monthly revenue with LAG delta (first month against 0)
+        "monthly_revenue_delta": """
+            SELECT month, rev_c,
+                   rev_c - COALESCE(LAG(rev_c) OVER (ORDER BY month), 0)
+                       AS delta_c
+            FROM (SELECT date_trunc('month', o_orderdate) AS month,
+                         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                       AS BIGINT)) AS BIGINT) AS rev_c
+                  FROM orders GROUP BY 1)
+            ORDER BY month
         """,
         # GROUP BY ROLLUP with 'ALL' markers (null-free value hash)
         "sales_rollup": """

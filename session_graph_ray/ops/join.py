@@ -130,7 +130,10 @@ def bucket_join(
     ``map_groups``. B bounds per-task memory; merges are vectorized.
 
     Caller contract: column names of the two sides must be disjoint (keys may
-    differ or match). ``how`` is pandas semantics: inner / left.
+    differ or match). ``how``: inner / left / outer. Full-outer key
+    contract (acero's): ``left_on`` holds the COALESCED join key (never
+    null), ``right_on`` is null-faithful (null exactly on right-unmatched
+    rows) — the pandas fallback path is normalized to match.
     """
     import numpy as np
     import pyarrow as pa
@@ -184,8 +187,10 @@ def bucket_join(
     l2 = left.map_batches(pad(0, left_on, lcols, rcols, rtypes), batch_format="pyarrow")
     r2 = right.map_batches(pad(1, right_on, rcols, lcols, ltypes), batch_format="pyarrow")
 
-    pd_how = {"inner": "inner", "left_outer": "left", "left": "left"}[how]
-    pa_how = {"inner": "inner", "left_outer": "left outer", "left": "left outer"}[how]
+    pd_how = {"inner": "inner", "left_outer": "left", "left": "left",
+              "full_outer": "outer", "outer": "outer"}[how]
+    pa_how = {"inner": "inner", "left_outer": "left outer", "left": "left outer",
+              "full_outer": "full outer", "outer": "full outer"}[how]
 
     def merge_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -215,6 +220,9 @@ def bucket_join(
             lpd = lg.to_pandas()
             rpd = rg.to_pandas()
             out = lpd.merge(rpd, how=pd_how, left_on=left_on, right_on=right_on)
+            if pd_how == "outer":
+                # match the acero path's key contract: left key coalesced
+                out[left_on] = out[left_on].combine_first(out[right_on])
             try:
                 return pa.Table.from_pandas(
                     out, schema=target_schema, preserve_index=False

@@ -56,3 +56,42 @@ def pivot_sum(
             Sum(count_col, alias_name=count_col),
         )
     )
+
+
+def unpivot(
+    ds: "ray.data.Dataset",
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+    labels: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Wide -> long melt (the pivot's inverse): each input row becomes
+    ``len(value_cols)`` rows of ``(*id_cols, label, value)``. A pure
+    per-batch reshape — no shuffle, no state; each batch's output is
+    ``len(value_cols)`` zero-copy-concatenated column slices, never a
+    per-row loop. ``labels`` (default: the column names) are the values
+    written to ``var_name``."""
+    import numpy as np
+    import pyarrow as pa
+
+    labels = labels if labels is not None else list(value_cols)
+    if len(labels) != len(value_cols):
+        raise ValueError("labels and value_cols must align")
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = {c: pa.concat_arrays(
+            [t.column(c).combine_chunks()] * len(value_cols)
+        ) for c in id_cols}
+        # label-major layout throughout: ids/vals are whole-column slices
+        # concatenated per label, so var is each label repeated n times
+        var = pa.array(np.repeat(np.asarray(labels, dtype=object), n),
+                       pa.string())
+        vals = pa.concat_arrays(
+            [t.column(c).combine_chunks().cast(pa.int64())
+             for c in value_cols]
+        )
+        return pa.table({**ids, var_name: var, value_name: vals})
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -2457,3 +2457,125 @@ def q_epoch_shuffle_head(sf_dir: str) -> "rd.Dataset":
                            batch_size=65536)
             .sort(["shuffle_key", "event_id"])
             .limit(K))
+
+
+def _year_order_counts(sf_dir: str, year: int, key_out: str,
+                       cnt_out: str) -> "rd.Dataset":
+    """Per-customer order counts for one calendar year, reduced from
+    per-batch partials in one bucketed exchange (no order rows shuffled)."""
+    from ..ops.exchange import exchange_map_groups
+
+    src = _custkeys_by_year(sf_dir, year)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(ck, return_counts=True)
+        return pa.table({key_out: pa.array(vals, pa.int64()),
+                         cnt_out: pa.array(cnts.astype(np.int64))})
+
+    def combine(g: pa.Table) -> pa.Table:
+        ck = g[key_out].to_numpy(zero_copy_only=False)
+        cnt = g[cnt_out].to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(ck, return_inverse=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, cnt)
+        return pa.table({key_out: pa.array(vals, pa.int64()),
+                         cnt_out: pa.array(sums)})
+
+    schema = pa.schema([(key_out, pa.int64()), (cnt_out, pa.int64())])
+
+    def bucket_fn(t: pa.Table) -> np.ndarray:
+        k = t.column(key_out).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (k % np.uint64(256)).astype(np.int64)
+
+    return exchange_map_groups(
+        src.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        combine, None, 256, schema.empty_table(), bucket_fn=bucket_fn,
+    )
+
+
+def q_customer_year_activity(sf_dir: str) -> "rd.Dataset":
+    """FULL OUTER join (ops/join.bucket_join how=outer): per-customer order
+    counts in 1995 vs 1996, customers active in EITHER year surviving with
+    the other side's count null -> 0. The join inputs are the pre-aggregated
+    per-customer counts (one tiny exchange each), never the order rows; the
+    coalesced key proves both null sides travel correctly."""
+    from ..ops.join import bucket_join
+
+    a = _year_order_counts(sf_dir, 1995, "ck95", "n95")
+    b = _year_order_counts(sf_dir, 1996, "ck96", "n96")
+    j = bucket_join(
+        a, b, left_on="ck95", right_on="ck96", how="outer",
+        left_schema=pa.schema([("ck95", pa.int64()), ("n95", pa.int64())]),
+        right_schema=pa.schema([("ck96", pa.int64()), ("n96", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ck = pc.coalesce(t["ck95"], t["ck96"])
+        return pa.table({
+            "custkey": ck,
+            "n_1995": pc.fill_null(t["n95"], 0),
+            "n_1996": pc.fill_null(t["n96"], 0),
+        })
+
+    return (j.map_batches(finish, batch_format="pyarrow", batch_size=65536)
+            .sort("custkey"))
+
+
+def q_events_unpivot(sf_dir: str) -> "rd.Dataset":
+    """Melt (ops/pivot.unpivot): the wide per-day pivot back to long
+    (day, event_type, sum_value_c) — pivot's inverse as a pure per-batch
+    reshape, zero-filled combinations preserved (the oracle reconstructs
+    them with a day x type grid)."""
+    from ..ops.pivot import unpivot
+
+    wide = q_events_pivot(sf_dir)
+    cats = ["click", "error", "purchase", "signup", "view"]
+    return unpivot(
+        wide, id_cols=["day"], value_cols=[f"{c}_c" for c in cats],
+        var_name="event_type", value_name="sum_value_c", labels=cats,
+    ).sort(["day", "event_type"])
+
+
+def q_monthly_revenue_delta(sf_dir: str) -> "rd.Dataset":
+    """Month-over-month revenue delta: tumbling monthly aggregate composed
+    with the LAG window operator (constant partition key — the series is
+    months, tiny by construction). delta_c = rev_c - prev month's rev_c,
+    first month against 0."""
+    from ..ops.window import grouped_lag
+
+    o = _rp(f"{sf_dir}/orders.parquet",
+            columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(t["o_orderdate"], unit="month"),
+            "rev_c": _cents(t["o_totalprice"]),
+        })
+
+    monthly = (o.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+               .groupby("month")
+               .aggregate(Sum("rev_c", alias_name="rev_c")))
+
+    def add_key(t: pa.Table) -> pa.Table:
+        k = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        m = t["month"].cast(pa.int64())
+        return pa.table({"__k": k, "month": t["month"], "m_i": m,
+                         "rev_c": t["rev_c"]})
+
+    keyed = monthly.map_batches(add_key, batch_format="pyarrow")
+    schema = pa.schema([("__k", pa.int64()), ("month", pa.timestamp("us")),
+                        ("m_i", pa.int64()), ("rev_c", pa.int64())])
+    lagged = grouped_lag(keyed, key_col="__k", order_col="m_i",
+                         tiebreak_col="m_i", value_col="rev_c",
+                         schema=schema, out_col="prev_rev_c")
+
+    def finish(t: pa.Table) -> pa.Table:
+        prev = pc.fill_null(t["prev_rev_c"], 0)
+        return pa.table({
+            "month": t["month"], "rev_c": t["rev_c"],
+            "delta_c": pc.subtract(t["rev_c"], prev),
+        })
+
+    return (lagged.map_batches(finish, batch_format="pyarrow")
+            .sort("month"))
