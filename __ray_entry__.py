@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_deciles": A.q_doc_length_deciles,
         "events_pivot": A.q_events_pivot,
         "events_in_order_windows": A.q_events_in_order_windows,
+        "events_in_all_order_windows": A.q_events_in_all_order_windows,
         "shipping_priority": A.q_shipping_priority,
         "event_value_moments": A.q_event_value_moments,
         "user_event_gaps": A.q_user_event_gaps,
@@ -759,6 +760,20 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN events e
               ON e.ts >= w.s AND e.ts < w.s + INTERVAL 3 DAY
             GROUP BY w.win_id
+        """,
+        # distributed range join: every order's 3-day window (no broadcast)
+        "events_in_all_order_windows": """
+            WITH w AS (
+              SELECT o_orderkey AS win_id,
+                     TIMESTAMP '2024-01-01'
+                       + (o_orderkey % 28) * INTERVAL 1 DAY AS s
+              FROM orders
+            )
+            SELECT w.win_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM w JOIN events e
+              ON e.ts >= w.s AND e.ts < w.s + INTERVAL 3 DAY
+            GROUP BY w.win_id
+            ORDER BY w.win_id
         """,
         "shipping_priority": f"""
             SELECT o.o_orderkey, o.o_orderdate,

@@ -6,11 +6,19 @@ interval set (promo windows, incident ranges, holiday calendars — the common
 case) the Ray-Data-first plan is a broadcast: ship the interval table once
 via ``ray.put``, test every batch against all intervals vectorized, emit
 (fact, interval-id) matches. No shuffle of the fact table at all; cost is
-O(batch x W) numpy comparisons. For LARGE interval sets the scale path is
-time-bucketing both sides to a common grain and equi-joining on the bucket
-(each interval replicated to the buckets it spans) — the standard
-partitioned interval-join decomposition; not needed for our workloads and
-documented here for parity.
+O(batch x W) numpy comparisons.
+
+For LARGE interval sets ``range_join_binned`` is the scale path: both
+sides time-bucket to a common grain (points to their cell, each interval
+REPLICATED to every cell it overlaps, CLIPPED to that cell), then one
+bucketed exchange colocates cells and the per-partition kernel is fully
+vectorized — because cells are disjoint ts ranges, sorting points by raw
+ts alone orders them by (cell, ts), so a single global ``searchsorted``
+of the clipped replica bounds against the point array is exact with zero
+per-cell or per-interval Python. A point lives in exactly one cell and an
+interval's replica in that cell is clipped to it, so each match is
+emitted exactly once — no dedup pass. Replication factor is
+span/bin_width + 1: pick ``bin_us`` near the typical interval span.
 """
 
 from __future__ import annotations
@@ -62,3 +70,115 @@ def range_join_broadcast(
         return out.append_column(out_id_col, pa.array(np.concatenate(id_runs)))
 
     return ds.map_batches(match, batch_format="pyarrow")
+
+
+def range_join_binned(
+    points: "ray.data.Dataset",
+    intervals: "ray.data.Dataset",
+    ts_col: str,
+    point_schema: pa.Schema,
+    id_col: str = "win_id",
+    start_col: str = "start",
+    end_col: str = "end",
+    out_id_col: str = "win_id",
+    bin_us: int = 86_400_000_000,
+    num_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Distributed containment join (``start <= ts < end``) for LARGE
+    interval sets — both sides are Datasets, nothing is broadcast. See the
+    module doc for the cell/clip/searchsorted plan. Timestamps and interval
+    bounds must share the microsecond int64 timeline (timestamp[us] or
+    int64). Output: every point column plus ``out_id_col`` (int64);
+    empty-interval rows (start >= end) are dropped."""
+    W = np.int64(bin_us)
+    B = num_buckets
+    out_schema = point_schema.append(pa.field(out_id_col, pa.int64()))
+    pcols = list(point_schema.names)
+
+    def _i64(col) -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False)
+        return v.view("i8") if v.dtype.kind == "M" else v.astype(np.int64)
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        ts = _i64(t.column(ts_col))
+        cols = {c: t.column(c) for c in pcols}
+        return pa.table({
+            **cols,
+            "__bin": pa.array(ts // W),
+            "__wid": pa.nulls(t.num_rows, pa.int64()),
+            "__cs": pa.nulls(t.num_rows, pa.int64()),
+            "__ce": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        s = _i64(t.column(start_col))
+        e = _i64(t.column(end_col))
+        wid = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s < e
+        s, e, wid = s[keep], e[keep], wid[keep]
+        b0 = s // W
+        nb = ((e - 1) // W - b0 + 1).astype(np.int64)
+        total = int(nb.sum())
+        # multi-arange: replica r of interval i lands in bin b0[i] + r
+        base = np.repeat(b0, nb)
+        step = np.arange(total) - np.repeat(np.cumsum(nb) - nb, nb)
+        bins = base + step
+        rs = np.repeat(s, nb)
+        re_ = np.repeat(e, nb)
+        cs = np.maximum(rs, bins * W)                # clip to the cell
+        ce = np.minimum(re_, (bins + 1) * W)
+        n = len(bins)
+        cols = {c: pa.nulls(n, point_schema.field(c).type) for c in pcols}
+        return pa.table({
+            **cols,
+            "__bin": pa.array(bins),
+            "__wid": pa.array(np.repeat(wid, nb)),
+            "__cs": pa.array(cs),
+            "__ce": pa.array(ce),
+        })
+
+    def bucket_fn(t: pa.Table) -> np.ndarray:
+        b = t.column("__bin").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (b % np.uint64(B)).astype(np.int64)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        import pyarrow.compute as _pc
+
+        is_iv = _pc.is_valid(g.column("__wid"))
+        pts = g.filter(_pc.invert(is_iv))
+        ivs = g.filter(is_iv)
+        if pts.num_rows == 0 or ivs.num_rows == 0:
+            return out_schema.empty_table()
+        ts = _i64(pts.column(ts_col))
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        cs = ivs.column("__cs").to_numpy(zero_copy_only=False)
+        ce = ivs.column("__ce").to_numpy(zero_copy_only=False)
+        wid = ivs.column("__wid").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(ts, cs, side="left")
+        hi = np.searchsorted(ts, ce, side="left")
+        cnt = hi - lo
+        m = cnt > 0
+        lo, cnt, wid = lo[m], cnt[m], wid[m]
+        total = int(cnt.sum())
+        idx = (np.repeat(lo, cnt)
+               + np.arange(total)
+               - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        out = pts.select(pcols).take(pa.array(order[idx]))
+        return out.append_column(
+            out_id_col, pa.array(np.repeat(wid, cnt), pa.int64())
+        )
+
+    from .exchange import exchange_map_groups
+
+    tagged = points.map_batches(
+        tag_points, batch_format="pyarrow", batch_size=65536
+    ).union(intervals.map_batches(
+        tag_intervals, batch_format="pyarrow", batch_size=65536
+    ))
+    return exchange_map_groups(
+        tagged, kernel, None, B, out_schema.empty_table(),
+        bucket_fn=bucket_fn,
+    )

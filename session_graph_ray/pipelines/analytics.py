@@ -2579,3 +2579,40 @@ def q_monthly_revenue_delta(sf_dir: str) -> "rd.Dataset":
 
     return (lagged.map_batches(finish, batch_format="pyarrow")
             .sort("month"))
+
+
+def q_events_in_all_order_windows(sf_dir: str) -> "rd.Dataset":
+    """Distributed range join (ops/interval.range_join_binned): count events
+    inside EVERY order's 3-day window — the interval side is the full orders
+    table (15k windows at sf0.01, 10^9+ in prod), so nothing broadcasts:
+    intervals replicate clipped to day cells, points route to their cell,
+    one exchange, and the per-partition match is a single searchsorted over
+    ts-sorted points (cells are disjoint ranges, so raw-ts order IS
+    (cell, ts) order). Windows anchor inside the events epoch as a
+    deterministic function of the order key (same contract as
+    events_in_order_windows)."""
+    from ..ops.interval import range_join_binned
+
+    orders = _rp(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    epoch = np.int64(np.datetime64("2024-01-01", "us").view("i8"))
+    day_us = np.int64(86_400_000_000)
+
+    def mk_windows(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = epoch + (k % 28) * day_us
+        return pa.table({"win_id": pa.array(k),
+                         "start": pa.array(start),
+                         "end": pa.array(start + 3 * day_us)})
+
+    iv = orders.map_batches(mk_windows, batch_format="pyarrow",
+                            batch_size=65536)
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    joined = range_join_binned(
+        ev, iv, ts_col="ts",
+        point_schema=pa.schema([("event_id", pa.int64()),
+                                ("ts", pa.timestamp("us"))]),
+        bin_us=int(day_us),
+    )
+    return (joined.groupby("win_id")
+            .aggregate(Count(alias_name="n_events"))
+            .sort("win_id"))
