@@ -384,6 +384,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unpivot": A.q_events_unpivot,
         "monthly_revenue_delta": A.q_monthly_revenue_delta,
         "epoch_shuffle_head": A.q_epoch_shuffle_head,
+        "nation_pair_volume": A.q_nation_pair_volume,
+        "nation_market_share": A.q_nation_market_share,
+        "top_supplier": A.q_top_supplier,
+        "discount_brand_revenue": A.q_discount_brand_revenue,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1522,5 +1526,74 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY score_u DESC, doc_id ASC) AS BIGINT) AS rank
             FROM s
             QUALIFY rank <= 10
+        """,
+        # TPC-H Q7 shape: either-direction nation-pair shipping volume
+        "nation_pair_volume": f"""
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM({_CENTS.format(x='l.l_extendedprice*(1.0-l.l_discount)')})
+                        AS BIGINT) AS revenue_c
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((sn.n_name = 'NATION_13' AND cn.n_name = 'NATION_19')
+                OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_13'))
+            GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        # TPC-H Q8 shape: national market share as an exact int64 pair
+        "nation_market_share": f"""
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CASE WHEN sn.n_name = 'NATION_12'
+                        THEN {_CENTS.format(x='l.l_extendedprice*(1.0-l.l_discount)')}
+                        ELSE 0 END) AS BIGINT) AS nation_rev_c,
+                   CAST(SUM({_CENTS.format(x='l.l_extendedprice*(1.0-l.l_discount)')})
+                        AS BIGINT) AS total_rev_c
+            FROM lineitem l
+            JOIN part p     ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+            JOIN region r   ON r.r_regionkey = cn.n_regionkey
+            WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY year(o.o_orderdate)
+            ORDER BY o_year
+        """,
+        # TPC-H Q15 shape: max-over-aggregate, ties preserved
+        "top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(SUM({_CENTS.format(x='l_extendedprice*(1.0-l_discount)')})
+                          AS BIGINT) AS total_revenue_c
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT r.s_suppkey, s.s_name, r.total_revenue_c
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            WHERE r.total_revenue_c = (SELECT MAX(total_revenue_c) FROM rev)
+            ORDER BY r.s_suppkey
+        """,
+        # TPC-H Q19 shape: disjunctive brand/size/quantity predicate scan
+        "discount_brand_revenue": f"""
+            SELECT CAST(SUM({_CENTS.format(x='l.l_extendedprice*(1.0-l.l_discount)')})
+                        AS BIGINT) AS revenue_c
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 30)
         """,
     }

@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..ops.join import broadcast_join, hash_join
 from ..sources.parquet import read_parquet_clean as _rp
@@ -2616,3 +2616,307 @@ def q_events_in_all_order_windows(sf_dir: str) -> "rd.Dataset":
     return (joined.groupby("win_id")
             .aggregate(Count(alias_name="n_events"))
             .sort("win_id"))
+
+
+def q_nation_pair_volume(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q7 shape (volume shipping between two nations): revenue by
+    (supp_nation, cust_nation, year) for the NATION_13/NATION_19 pair, either
+    direction, 1996-1997 shipments. Supplier is the tiny dim — its
+    two-nation slice broadcasts into the lineitem scan (inner merge doubles
+    as the supplier filter). The customer side is size-gated: the
+    two-nation customer slice broadcasts into orders below the gate, else
+    it hash-joins. The only fact-fact exchange is lineitem x orders on
+    orderkey; revenue collapses per batch to (supp, cust, year) partials
+    before a 4-row groupby. Both-in-pair + s != c is exactly the Q7
+    either-direction predicate."""
+    nat = _rp(f"{sf_dir}/nation.parquet",
+              columns=["n_nationkey", "n_name"]).to_pandas()
+    keys = {n: k for k, n in zip(nat.n_nationkey, nat.n_name)}
+    k1, k2 = keys["NATION_13"], keys["NATION_19"]
+
+    sup = _rp(f"{sf_dir}/supplier.parquet",
+              columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup.s_nationkey.isin([k1, k2])]
+    sup = pd.DataFrame({"s_suppkey": sup.s_suppkey,
+                        "s_nat": sup.s_nationkey.astype("int64")})
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount", "l_shipdate"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "l_year": pc.year(t["l_shipdate"]).cast(pa.int64()),
+                         "rev_c": _cents(rev)})
+
+    li_s = broadcast_join(
+        li.map_batches(l_prep, batch_format="pyarrow", batch_size=65536),
+        sup, left_on="l_suppkey", right_on="s_suppkey")
+
+    cust = _rp(f"{sf_dir}/customer.parquet",
+               columns=["c_custkey", "c_nationkey"])
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        m = pc.or_(pc.equal(t["c_nationkey"], pa.scalar(int(k1))),
+                   pc.equal(t["c_nationkey"], pa.scalar(int(k2))))
+        t = t.filter(m)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_nat": t["c_nationkey"].cast(pa.int64())})
+
+    cust2 = cust.map_batches(c_prep, batch_format="pyarrow",
+                             batch_size=65536).materialize()
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey"])
+    if cust2.count() <= 2_000_000:
+        ord_n = broadcast_join(orders, cust2.to_pandas(),
+                               left_on="o_custkey", right_on="c_custkey")
+    else:
+        ord_n = hash_join(orders, cust2, on="o_custkey",
+                          right_on="c_custkey")
+    joined = hash_join(li_s, ord_n, on="l_orderkey", right_on="o_orderkey")
+
+    name_of = {int(k1): "NATION_13", int(k2): "NATION_19"}
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["s_nat"].to_numpy(zero_copy_only=False)
+        c = t["c_nat"].to_numpy(zero_copy_only=False)
+        keep = s != c
+        s, c = s[keep], c[keep]
+        y = t["l_year"].to_numpy(zero_copy_only=False)[keep]
+        r = t["rev_c"].to_numpy(zero_copy_only=False)[keep]
+        # pack (s-bit, year) into one int key: both nations + few years
+        key = (s == int(k2)).astype(np.int64) * 10_000 + y
+        vals, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, r)
+        sk = np.where(vals >= 10_000, int(k2), int(k1))
+        ck = np.where(vals >= 10_000, int(k1), int(k2))
+        return pa.table({
+            "supp_nation": pa.array([name_of[int(x)] for x in sk]),
+            "cust_nation": pa.array([name_of[int(x)] for x in ck]),
+            "l_year": pa.array(vals % 10_000, pa.int64()),
+            "revenue_c": pa.array(sums),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+            .sort(["supp_nation", "cust_nation", "l_year"]))
+
+
+def q_nation_market_share(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q8 shape (national market share): among PROMO-type parts
+    ordered 1995-1996 by ASIA-region customers, NATION_12-supplier revenue
+    vs total revenue per order year. Share is reported as the exact int64
+    pair (nation_rev_c, total_rev_c) — no float division on either side,
+    so the value hash is rounding-free. Part keys and the supplier->nation
+    flag are dim broadcasts; customer routing is the same size-gated
+    broadcast as Q7; the one fact-fact exchange is lineitem x orders."""
+    nat = _rp(f"{sf_dir}/nation.parquet",
+              columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _rp(f"{sf_dir}/region.parquet",
+              columns=["r_regionkey", "r_name"]).to_pandas()
+    asia = nat.merge(reg[reg.r_name == "ASIA"], left_on="n_regionkey",
+                     right_on="r_regionkey")
+    asia_keys = set(asia.n_nationkey)
+    k5 = int(nat[nat.n_name == "NATION_12"].n_nationkey.iloc[0])
+
+    part = _rp(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part.map_batches(
+        lambda t: t.filter(pc.equal(t["p_type"], pa.scalar("PROMO")))
+        .select(["p_partkey"]),
+        batch_format="pyarrow", batch_size=65536).to_pandas()
+
+    sup = _rp(f"{sf_dir}/supplier.parquet",
+              columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = pd.DataFrame({"s_suppkey": sup.s_suppkey,
+                        "is_n5": (sup.s_nationkey == k5).astype("int64")})
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_partkey": t["l_partkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev_c": _cents(rev)})
+
+    li_p = broadcast_join(
+        li.map_batches(l_prep, batch_format="pyarrow", batch_size=65536),
+        pk, left_on="l_partkey", right_on="p_partkey")
+    li_ps = broadcast_join(li_p, sup, left_on="l_suppkey",
+                           right_on="s_suppkey")
+
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        t = t.filter(m)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_year": pc.year(t["o_orderdate"]).cast(pa.int64())})
+
+    cust = _rp(f"{sf_dir}/customer.parquet",
+               columns=["c_custkey", "c_nationkey"])
+    ck_arr = pa.array(sorted(int(x) for x in asia_keys), pa.int64())
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["c_nationkey"].cast(pa.int64()), value_set=ck_arr)
+        return t.filter(m).select(["c_custkey"])
+
+    cust_a = cust.map_batches(c_prep, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+    ords = orders.map_batches(o_prep, batch_format="pyarrow",
+                              batch_size=65536)
+    if cust_a.count() <= 2_000_000:
+        ord_a = broadcast_join(ords, cust_a.to_pandas(),
+                               left_on="o_custkey", right_on="c_custkey")
+    else:
+        ord_a = hash_join(ords, cust_a, on="o_custkey",
+                          right_on="c_custkey")
+    joined = hash_join(li_ps, ord_a, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = t["o_year"].to_numpy(zero_copy_only=False)
+        r = t["rev_c"].to_numpy(zero_copy_only=False)
+        f = t["is_n5"].to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(y, return_inverse=True)
+        tot = np.zeros(len(vals), dtype=np.int64)
+        n5 = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(tot, inv, r)
+        np.add.at(n5, inv, r * f)
+        return pa.table({"o_year": pa.array(vals, pa.int64()),
+                         "nation_rev_c": pa.array(n5),
+                         "total_rev_c": pa.array(tot)})
+
+    return (joined.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("o_year")
+            .aggregate(Sum("nation_rev_c", alias_name="nation_rev_c"),
+                       Sum("total_rev_c", alias_name="total_rev_c"))
+            .sort("o_year"))
+
+
+def q_top_supplier(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q15 shape (max-over-aggregate with ties): per-supplier revenue
+    for 1996Q1 shipments via the bucketed vectorized reduce (suppkey is the
+    key — 10k/SF), then the global max is ONE tiny driver scalar from an
+    aggregate over the per-supplier sums (never the fact table), and the
+    tie-preserving equality filter + supplier-name broadcast finish it.
+    The fact table is scanned once; nothing else shuffles."""
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_suppkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+    B = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        t = t.filter(m)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        r = _cents(rev).to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, r)
+        return pa.table({"s_suppkey": pa.array(vals, pa.int64()),
+                         "total_revenue_c": pa.array(sums),
+                         "__bkt": pa.array((vals % B).astype(np.int32))})
+
+    def combine(g: pa.Table) -> pa.Table:
+        sk = g["s_suppkey"].to_numpy(zero_copy_only=False)
+        r = g["total_revenue_c"].to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, r)
+        return pa.table({"s_suppkey": pa.array(vals, pa.int64()),
+                         "total_revenue_c": pa.array(sums)})
+
+    per_supp = (li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby("__bkt").map_groups(combine, batch_format="pyarrow")
+                .materialize())
+    best = per_supp.aggregate(Max("total_revenue_c"))
+    best_v = int(best["max(total_revenue_c)"])
+
+    winners = per_supp.filter(
+        expr=f"total_revenue_c == {best_v}")
+    names = _rp(f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_name"]).to_pandas()
+    return (broadcast_join(winners, names, left_on="s_suppkey")
+            .select_columns(["s_suppkey", "s_name", "total_revenue_c"])
+            .sort("s_suppkey"))
+
+
+def q_discount_brand_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape (disjunctive multi-clause predicate scan): revenue
+    from three OR'd (brand, size-range, quantity-range) clauses. The part
+    dim is pre-pruned to the three brands BEFORE broadcasting (only
+    matching partkeys ship to workers), the per-batch predicate is one
+    vectorized boolean expression over the merged batch, and the result is
+    a single global int64 sum — partials collapse per batch, nothing
+    shuffles. Returns a one-row Arrow table."""
+    part = _rp(f"{sf_dir}/part.parquet",
+               columns=["p_partkey", "p_brand", "p_size"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["p_brand"],
+                     value_set=pa.array(["Brand#12", "Brand#23", "Brand#34"]))
+        return t.filter(m)
+
+    pk = part.map_batches(p_prep, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_partkey", "l_quantity", "l_extendedprice",
+                      "l_discount"])
+    merged = broadcast_join(li, pk, left_on="l_partkey",
+                            right_on="p_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"]
+        sz = t["p_size"]
+        b = t["p_brand"]
+
+        def clause(brand, smax, qlo, qhi):
+            return pc.and_(
+                pc.and_(pc.equal(b, pa.scalar(brand)),
+                        pc.and_(pc.greater_equal(sz, pa.scalar(1)),
+                                pc.less_equal(sz, pa.scalar(smax)))),
+                pc.and_(pc.greater_equal(q, pa.scalar(float(qlo))),
+                        pc.less_equal(q, pa.scalar(float(qhi)))))
+
+        m = pc.or_(pc.or_(clause("Brand#12", 15, 1, 11),
+                          clause("Brand#23", 25, 10, 20)),
+                   clause("Brand#34", 35, 20, 30))
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        s = pc.sum(_cents(rev))
+        v = 0 if s.as_py() is None else s.as_py()
+        return pa.table({"revenue_c": pa.array([v], pa.int64())})
+
+    total = (merged.map_batches(partial, batch_format="pyarrow",
+                                batch_size=65536)
+             .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+    return pa.table({"revenue_c": pa.array([int(total["revenue_c"])],
+                                           pa.int64())})
