@@ -388,6 +388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": A.q_nation_market_share,
         "top_supplier": A.q_top_supplier,
         "discount_brand_revenue": A.q_discount_brand_revenue,
+        "priority_order_counts": A.q_priority_order_counts,
+        "waiting_suppliers": A.q_waiting_suppliers,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1595,5 +1597,46 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 20)
                OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
                    AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        # TPC-H Q4 shape: EXISTS semi-join then grouped count
+        "priority_order_counts": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        # TPC-H Q21 shape: sole-late-supplier on finished multi-supplier
+        # orders ("late" = shipped >= 60 days after the order date — the
+        # synthetic schema has no commit/receipt dates)
+        "waiting_suppliers": """
+            WITH j AS (
+              SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+                     MAX(CASE WHEN l.l_shipdate >=
+                                   o.o_orderdate + INTERVAL 60 DAY
+                              THEN 1 ELSE 0 END) AS late
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              WHERE o.o_orderstatus = 'F'
+              GROUP BY l.l_orderkey, l.l_suppkey
+            ),
+            per_o AS (
+              SELECT ok, COUNT(*) AS n_supp, SUM(late) AS n_late,
+                     SUM(late * sk) AS late_sk
+              FROM j GROUP BY ok
+            ),
+            blamed AS (
+              SELECT late_sk AS s_suppkey FROM per_o
+              WHERE n_supp >= 2 AND n_late = 1
+            )
+            SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM blamed b JOIN supplier s ON s.s_suppkey = b.s_suppkey
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 10
         """,
     }

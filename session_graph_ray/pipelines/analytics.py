@@ -2920,3 +2920,143 @@ def q_discount_brand_revenue(sf_dir: str) -> pa.Table:
              .aggregate(Sum("revenue_c", alias_name="revenue_c")))
     return pa.table({"revenue_c": pa.array([int(total["revenue_c"])],
                                            pa.int64())})
+
+
+def q_priority_order_counts(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q4 shape (EXISTS semi-join then grouped count): orders placed
+    1996H1 that have at least one returned line (l_returnflag = 'R'),
+    counted per order priority. The EXISTS set is the bucketed DISTINCT of
+    returned orderkeys (per-batch np.unique partials, one small exchange);
+    below the gate it broadcasts into the orders scan as one sorted int64
+    membership array (np.isin — vectorized, no hash dict), else it routes
+    through the bucketed hash join. The fact table never shuffles."""
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_returnflag"])
+    B = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        ok = np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"ok": pa.array(ok, pa.int64()),
+                         "__bkt": pa.array((ok % B).astype(np.int32))})
+
+    def combine(g: pa.Table) -> pa.Table:
+        ok = np.unique(g["ok"].to_numpy(zero_copy_only=False))
+        return pa.table({"ok": pa.array(ok, pa.int64())})
+
+    returned = (li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby("__bkt").map_groups(combine, batch_format="pyarrow")
+                .materialize())
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-07-01", "us"))
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_window(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    ords = orders.map_batches(o_window, batch_format="pyarrow",
+                              batch_size=65536)
+    if returned.count() <= 2_000_000:
+        import ray as _ray
+        keys_ref = _ray.put(np.sort(
+            returned.to_pandas()["ok"].to_numpy()))
+
+        def member(t: pa.Table) -> pa.Table:
+            keys = _ray.get(keys_ref)
+            ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(ok, keys)))
+
+        sem = ords.map_batches(member, batch_format="pyarrow",
+                               batch_size=65536)
+    else:
+        sem = hash_join(ords, returned, on="o_orderkey", right_on="ok")
+    return (sem.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="order_count"))
+            .sort("o_orderpriority"))
+
+
+def q_waiting_suppliers(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q21 shape (EXISTS + NOT-EXISTS self-join on the fact table):
+    suppliers who were the SOLE late supplier (shipped >= 60 days after the
+    order date — the schema has no commit/receipt dates) on a finished
+    multi-supplier order. One fact-fact exchange joins lineitem x filtered
+    orders; per-batch partials reduce to distinct (orderkey, suppkey,
+    late-max) triples; ONE bucketed exchange on orderkey colocates each
+    order's triples, and the per-bucket kernel is pure lexsort/reduceat —
+    per order: distinct-supplier count, late count, and (when exactly one
+    supplier is late and another exists) that supplier, recovered as
+    sum(late*suppkey) without any per-order Python."""
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_orderstatus", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+        return t.select(["o_orderkey", "o_orderdate"])
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    joined = hash_join(
+        li, orders.map_batches(o_prep, batch_format="pyarrow",
+                               batch_size=65536),
+        on="l_orderkey", right_on="o_orderkey")
+    B = 64
+    late_us = np.int64(60) * 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False).view("i8")
+        odate = t["o_orderdate"].to_numpy(zero_copy_only=False).view("i8")
+        late = (ship >= odate + late_us).astype(np.int64)
+        idx = np.lexsort((sk, ok))
+        ok, sk, late = ok[idx], sk[idx], late[idx]
+        new = np.empty(len(ok), dtype=bool)
+        new[:1] = True
+        new[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        seg = np.flatnonzero(new)
+        late_max = np.maximum.reduceat(late, seg) if len(seg) else late[:0]
+        ok, sk = ok[new], sk[new]
+        return pa.table({"ok": pa.array(ok), "sk": pa.array(sk),
+                         "late": pa.array(late_max),
+                         "__bkt": pa.array((ok % B).astype(np.int32))})
+
+    def blame(g: pa.Table) -> pa.Table:
+        ok = g["ok"].to_numpy(zero_copy_only=False)
+        sk = g["sk"].to_numpy(zero_copy_only=False)
+        late = g["late"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((sk, ok))
+        ok, sk, late = ok[idx], sk[idx], late[idx]
+        new = np.empty(len(ok), dtype=bool)
+        new[:1] = True
+        new[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        seg = np.flatnonzero(new)
+        late = np.maximum.reduceat(late, seg) if len(seg) else late[:0]
+        ok, sk = ok[new], sk[new]
+        onew = np.empty(len(ok), dtype=bool)
+        onew[:1] = True
+        onew[1:] = ok[1:] != ok[:-1]
+        oseg = np.flatnonzero(onew)
+        if not len(oseg):
+            return pa.table({"s_suppkey": pa.array([], pa.int64())})
+        n_pairs = np.diff(np.append(oseg, len(ok)))
+        n_late = np.add.reduceat(late, oseg)
+        late_sk = np.add.reduceat(late * sk, oseg)
+        hit = (n_pairs >= 2) & (n_late == 1)
+        return pa.table({"s_suppkey": pa.array(late_sk[hit], pa.int64())})
+
+    blamed = (joined.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=65536)
+              .groupby("__bkt").map_groups(blame, batch_format="pyarrow"))
+    counts = (blamed.groupby("s_suppkey")
+              .aggregate(Count(alias_name="numwait")))
+    names = _rp(f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_name"]).to_pandas()
+    return (broadcast_join(counts, names, left_on="s_suppkey")
+            .select_columns(["s_name", "numwait"])
+            .sort(["numwait", "s_name"], descending=[True, False])
+            .limit(10))
