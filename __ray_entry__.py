@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_brand_revenue": A.q_discount_brand_revenue,
         "priority_order_counts": A.q_priority_order_counts,
         "waiting_suppliers": A.q_waiting_suppliers,
+        "doc_bigram_lm": A.q_doc_bigram_lm,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1638,5 +1639,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s.s_name
             LIMIT 10
+        """,
+        # corpus bigram LM scoring: counts + quantized-ln scores recomputed
+        # on bigram STRINGS (guards the Ray side's 64-bit gram-hash identity)
+        "doc_bigram_lm": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS a
+                       FROM documents),
+            b AS (SELECT doc_id, a[x] || chr(31) || a[x + 1] AS bg
+                  FROM d, UNNEST(generate_series(1, len(a) - 1)) AS t(x)),
+            c AS (SELECT bg, COUNT(*) AS cnt FROM b GROUP BY bg),
+            s AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                         CAST(SUM(CAST(FLOOR(LN(c.cnt) * 1e6 + 0.5)
+                                       AS BIGINT)) AS BIGINT) AS lm_score_u
+                  FROM b JOIN c USING (bg) GROUP BY b.doc_id)
+            SELECT dd.doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(s.lm_score_u, 0) AS lm_score_u
+            FROM documents dd LEFT JOIN s ON s.doc_id = dd.doc_id
+            ORDER BY dd.doc_id
         """,
     }

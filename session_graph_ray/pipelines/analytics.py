@@ -3060,3 +3060,16 @@ def q_waiting_suppliers(sf_dir: str) -> "rd.Dataset":
             .select_columns(["s_name", "numwait"])
             .sort(["numwait", "s_name"], descending=[True, False])
             .limit(10))
+
+
+def q_doc_bigram_lm(sf_dir: str) -> "rd.Dataset":
+    """Corpus bigram-LM document scoring (ops/lm.py): train bigram counts
+    over the documents table in one exploded-census pass, then score every
+    doc by the summed quantized log-frequency of its bigram instances —
+    the count-based core of a CCNet/Gopher-style LM quality filter, exact
+    int64 micro-units end-to-end. The DuckDB oracle recomputes counts and
+    scores on bigram STRINGS, guarding the 64-bit gram-hash identity too."""
+    from ..ops.lm import bigram_lm_scores
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_lm_scores(docs).sort("doc_id")

@@ -1,0 +1,72 @@
+"""Bigram-LM scoring (ops/lm.py) vs a brute-force Python reference, on both
+the broadcast-lookup and bucketed-join routes."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from session_graph_ray.ops.lm import bigram_lm_scores
+
+
+def _brute(docs):
+    from collections import Counter
+
+    bigrams = {}
+    for did, text in docs:
+        toks = text.split()
+        bigrams[did] = [(toks[i], toks[i + 1])
+                        for i in range(len(toks) - 1)]
+    counts = Counter(bg for bgs in bigrams.values() for bg in bgs)
+    out = {}
+    for did, bgs in bigrams.items():
+        score = sum(math.floor(math.log(counts[bg]) * 1e6 + 0.5)
+                    for bg in bgs)
+        out[did] = (len(bgs), score)
+    return out
+
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the hat"),
+    (2, "a dog ran over the cat"),
+    (3, "the cat sat"),
+    (4, "singleton"),          # 1 token -> 0 bigrams
+    (5, ""),                   # empty -> 0 bigrams
+    (6, "the cat sat on the mat"),  # exact dup of doc 0
+]
+
+
+@pytest.mark.parametrize("broadcast_max", [2_000_000, 0])
+def test_bigram_lm_matches_brute_force(broadcast_max):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+        "text": pa.array([t for _, t in DOCS]),
+    })).repartition(3)
+    got = (bigram_lm_scores(ds, broadcast_max=broadcast_max)
+           .to_pandas().set_index("doc_id").sort_index())
+    want = _brute(DOCS)
+    assert set(got.index) == set(want)
+    for did, (n, score) in want.items():
+        assert int(got.loc[did, "n_bigrams"]) == n, did
+        assert int(got.loc[did, "lm_score_u"]) == score, did
+    # dup doc scores identically; the dup'd bigrams outscore the rare ones
+    assert got.loc[0, "lm_score_u"] == got.loc[6, "lm_score_u"]
+    assert got.loc[0, "lm_score_u"] > got.loc[2, "lm_score_u"]
+
+
+def test_bigram_lm_partition_independent():
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab, size=rng.integers(0, 40))))
+            for i in range(60)]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs])})
+    a = (bigram_lm_scores(rd.from_arrow(t).repartition(1))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (bigram_lm_scores(rd.from_arrow(t).repartition(7))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
