@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_order_counts": A.q_priority_order_counts,
         "waiting_suppliers": A.q_waiting_suppliers,
         "doc_bigram_lm": A.q_doc_bigram_lm,
+        "doc_mixture_sample": A.q_doc_mixture_sample,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -460,6 +461,34 @@ def _sm64_chain(carry: str, key: str = "doc_id", seed: int = 0xA5A5) -> str:
             s3 AS (SELECT {key}, {carry},
                           {_sm64_mulmod(0x94D049BB133111EB)} AS z3 FROM y3),
             hashed AS (SELECT {key}, {carry}, xor(z3, z3 >> 31) AS h FROM s3)
+    """
+
+
+def _mixture_oracle() -> str:
+    """doc_mixture_sample SQL, thresholds quantized by the kernel's own
+    frac_threshold() so both sides compare h against the identical uint64."""
+    from session_graph_ray.ops.sample import frac_threshold as _ft
+
+    rates = {"src0": 2.5, "src1": 1.0, "src2": 0.4, "src3": 0.0}
+    default_rate = 0.25
+    base_cases = " ".join(
+        f"WHEN '{s}' THEN {int(r // 1)}" for s, r in rates.items())
+    thr_cases = " ".join(
+        f"WHEN '{s}' THEN {_ft(r - int(r // 1))}" for s, r in rates.items())
+    dbase = int(default_rate // 1)
+    dthr = _ft(default_rate - dbase)
+    return f"""
+        WITH {_sm64_chain("source")},
+        r AS (
+          SELECT doc_id, source,
+                 CASE source {base_cases} ELSE {dbase} END
+                 + CASE WHEN h < CASE source {thr_cases} ELSE {dthr} END
+                        THEN 1 ELSE 0 END AS copies
+          FROM hashed
+        )
+        SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch
+        FROM r, UNNEST(generate_series(0, copies - 1)) AS e(epoch)
+        ORDER BY doc_id, epoch
     """
 
 
@@ -1658,4 +1687,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents dd LEFT JOIN s ON s.doc_id = dd.doc_id
             ORDER BY dd.doc_id
         """,
+        # deterministic mixture weighting: same splitmix64 chain, copies
+        # expanded with generate_series (thresholds quantized by the SAME
+        # frac_threshold() the kernel uses)
+        "doc_mixture_sample": _mixture_oracle(),
     }

@@ -124,3 +124,60 @@ def hash_split(
         return t.append_column(out_col, pa.array(lab, pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def frac_threshold(rate_frac: float) -> int:
+    """uint64 threshold for a Bernoulli(rate_frac) key-hash draw. One shared
+    definition so the DuckDB oracle builder quantizes the SAME float product
+    the kernel does (bit-exact parity)."""
+    return min(int(rate_frac * 2.0**64), 2**64 - 1)
+
+
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    source_col: str,
+    key: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 0xA5A5,
+) -> "ray.data.Dataset":
+    """Deterministic dataset-mixture weighting: each row is emitted
+    ``floor(rate[source])`` times, plus one more iff
+    ``splitmix64(key ^ seed) < frac(rate) * 2^64`` — so a source weighted
+    2.5 contributes every row twice and half the rows (key-chosen) a third
+    time. The training-mixture primitive (weight corpora up/down without a
+    shuffle): membership and copy-count are pure functions of (key, source),
+    so re-running on any re-sharding emits the identical multiset, and an
+    ``epoch`` column (0..copies-1) makes the copies distinguishable for
+    downstream per-epoch shuffles. Fully vectorized: rates resolve through
+    a dictionary-encode lookup, copies expand via one ``take``."""
+    base_of = {s: int(np.floor(r)) for s, r in rates.items()}
+    thr_of = {s: np.uint64(frac_threshold(r - np.floor(r)))
+              for s, r in rates.items()}
+    dbase = int(np.floor(default_rate))
+    dthr = np.uint64(frac_threshold(default_rate - np.floor(default_rate)))
+
+    def f(t: pa.Table) -> pa.Table:
+        src = t.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode() if not pa.types.is_dictionary(
+            src.type) else src
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = enc.dictionary.to_pylist()
+        base_lut = np.array([base_of.get(s, dbase) for s in dic],
+                            dtype=np.int64)
+        thr_lut = np.array([thr_of.get(s, dthr) for s in dic],
+                           dtype=np.uint64)
+        h = _key_hash(t, key, seed)
+        copies = base_lut[codes] + (h < thr_lut[codes]).astype(np.int64)
+        row_idx = np.repeat(np.arange(len(copies), dtype=np.int64), copies)
+        out = t.take(pa.array(row_idx))
+        ends = np.cumsum(copies)
+        epoch = np.arange(int(ends[-1]) if len(ends) else 0,
+                          dtype=np.int64) - np.repeat(ends - copies, copies)
+        return out.append_column("epoch", pa.array(epoch))
+
+    return ds.map_batches(f, batch_format="pyarrow")

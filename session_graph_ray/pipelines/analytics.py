@@ -3073,3 +3073,22 @@ def q_doc_bigram_lm(sf_dir: str) -> "rd.Dataset":
 
     docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return bigram_lm_scores(docs).sort("doc_id")
+
+
+def q_doc_mixture_sample(sf_dir: str) -> "rd.Dataset":
+    """Deterministic training-mixture weighting (ops/sample.mixture_sample):
+    per-source rates upsample src0 2.5x (two guaranteed copies + a
+    key-chosen half), keep src1 whole, thin src2 to 0.4, drop src3, and
+    default everything else to 0.25. Membership and copy count are pure
+    functions of (doc_id, source) via splitmix64, so the multiset is
+    identical under any re-sharding; the DuckDB oracle replays the hash
+    chain in HUGEINT arithmetic and expands copies with generate_series."""
+    from ..ops.sample import mixture_sample
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = mixture_sample(docs, source_col="source", key="doc_id",
+                         rates={"src0": 2.5, "src1": 1.0, "src2": 0.4,
+                                "src3": 0.0},
+                         default_rate=0.25)
+    return out.select_columns(["doc_id", "source", "epoch"]).sort(
+        ["doc_id", "epoch"])

@@ -70,3 +70,37 @@ def test_bigram_lm_partition_independent():
     b = (bigram_lm_scores(rd.from_arrow(t).repartition(7))
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_mixture_sample_semantics_and_partition_independence():
+    from session_graph_ray.ops.sample import mixture_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(400), pa.int64()),
+        "source": pa.array(["a", "b", "c", "d"] * 100),
+    })
+    rates = {"a": 2.5, "b": 1.0, "c": 0.0}
+    a = (mixture_sample(rd.from_arrow(t).repartition(1), "source", "doc_id",
+                        rates, default_rate=0.25)
+         .to_pandas().sort_values(["doc_id", "epoch"]).reset_index(drop=True))
+    b = (mixture_sample(rd.from_arrow(t).repartition(9), "source", "doc_id",
+                        rates, default_rate=0.25)
+         .to_pandas().sort_values(["doc_id", "epoch"]).reset_index(drop=True))
+    assert a.equals(b)
+
+    per = a.groupby(["doc_id", "source"], observed=True).epoch.agg(
+        ["count", "min", "max"])
+    for (_, src), row in per.iterrows():
+        n = row["count"]
+        assert row["min"] == 0 and row["max"] == n - 1  # epoch is 0..n-1
+        if src == "a":
+            assert n in (2, 3)
+        elif src == "b":
+            assert n == 1
+        else:
+            assert src == "d" and n == 1  # default 0.25 keeps some d rows
+    assert "c" not in set(a.source)      # rate 0 drops every row
+    n_a = per.xs("a", level="source")["count"]
+    assert 0.3 < (n_a == 3).mean() < 0.7  # ~half the a-rows get the 3rd copy
+    d_kept = (a.source == "d").sum()
+    assert 10 < d_kept < 40               # ~25% of 100 d-rows
