@@ -295,6 +295,26 @@ def _q_knn_ivf(sf_dir: str):
     return ivf_topk(emb, queries, qids, k=10)
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ADC top-k (ops/pq.py): train the per-subspace
+    codebook, encode the corpus to M-byte codes, answer with LUT gathers.
+    Rows-only (approximate by design); recall vs brute force is pinned by
+    tests/test_pq.py."""
+    from session_graph_ray.sources.parquet import read_parquet_clean as _rp
+
+    from session_graph_ray.ops.pq import pq_encode, pq_topk, pq_train
+    from session_graph_ray.pipelines.analytics import _query_vectors
+
+    from session_graph_ray.ops.pq import pq_topk_rerank
+
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"])
+    queries, qids = _query_vectors(sf_dir, 5)
+    books = pq_train(emb, m=8, k=16)
+    return pq_topk_rerank(pq_encode(emb, books), emb, books, queries, qids,
+                          k=10, mult=4)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -417,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "pack_docs": _q_pack_docs,
         "knn_ivf": _q_knn_ivf,
+        "knn_pq": _q_knn_pq,
         "knn_graph": A.q_knn_graph,
         "media_features": _q_media_features,
     }

@@ -1,0 +1,256 @@
+"""Product quantization for embedding similarity search at corpus scale.
+
+Public-method pedigree: "Product Quantization for Nearest Neighbor Search"
+(Jégou, Douze, Schmid, TPAMI 2011) — split each d-dim vector into M
+subvectors, learn a K-centroid codebook per subspace, store each vector as M
+small codes (M bytes at K<=256 vs 8d bytes of floats — a 32-64x memory cut),
+and answer queries with Asymmetric Distance Computation: one (M x K) table
+of exact query-to-centroid sub-distances per query, then every encoded
+vector's approximate distance is M table gathers + a sum.
+
+Why this is THE 100-TB similarity path: the corpus-side pass over encoded
+vectors touches M bytes/row instead of 8d, the codebook is a few KB
+broadcast once, and ADC is a pure vectorized gather — no matmul against the
+raw corpus ever happens after encoding. Composes with IVF (probe cells,
+then ADC within) exactly as in the paper.
+
+Ray-Data plan:
+  - ``pq_train``: per-block stride-sampled init (farthest-point per
+    subspace) + Lloyd rounds where every block ships ONE constant-size
+    (M*K*dsub + M*K) partial-sum buffer — the reuse of
+    ``similarity.train_ivf_centroids``'s round shape, M subspaces at once.
+  - ``pq_encode``: one map_batches; all M subspace assignments happen in a
+    single (n, M, K) batched einsum; codes travel as a FixedSizeList uint8
+    column.
+  - ``pq_topk``: queries broadcast as precomputed LUTs; per batch the
+    candidate distance is ``lut[m, codes[:, m]].sum(m)`` (vectorized
+    gather), partial top-k per batch, tiny final merge per query — same
+    output contract as ``brute_force_topk`` (query_id, vec_id, rank).
+
+All distances are L2 on unit-normalized vectors (monotone with cosine, so
+ranks are comparable with ``brute_force_topk``); tie-break is (dist, vec_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .similarity import _farthest_point_centroids, _unit, _vecs_np
+
+
+def _split(mat: np.ndarray, m: int) -> np.ndarray:
+    """(n, d) -> (n, m, d//m) subvector view (d must divide by m)."""
+    n, d = mat.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by {m} subspaces")
+    return mat.reshape(n, m, d // m)
+
+
+def pq_train(
+    ds: "ray.data.Dataset",
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 4,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_per_block: int = 512,
+) -> np.ndarray:
+    """(m, k, d//m) codebook via per-subspace distributed k-means.
+
+    Init: deterministic per-block stride sample gathered once, then a
+    farthest-point sweep per subspace. Refine: ``n_iter`` Lloyd rounds;
+    each block emits one (m*k*dsub + m*k) float64 buffer of per-centroid
+    sums/counts for ALL subspaces — constant-size partials regardless of
+    corpus size, reduced driver-side like ``train_ivf_centroids``.
+    """
+    def block_sample(batch: pa.Table) -> pa.Table:
+        mat = _vecs_np(batch.column(vec_col))
+        if mat.shape[0] > sample_per_block:
+            idx = np.linspace(0, mat.shape[0] - 1,
+                              sample_per_block).astype(int)
+            mat = mat[idx]
+        from .similarity import _fixed_list
+
+        return pa.table({"v": _fixed_list(_unit(mat))})
+
+    sample_tbl = ds.map_batches(
+        block_sample, batch_format="pyarrow", batch_size=8192
+    ).take_all()
+    sample = np.asarray([r["v"] for r in sample_tbl], dtype=np.float64)
+    sub = _split(sample, m)  # (n, m, dsub)
+    dsub = sub.shape[2]
+    books = np.stack([
+        _farthest_point_centroids(np.ascontiguousarray(sub[:, j]), k,
+                                  seed + j)
+        for j in range(m)
+    ])  # (m, k, dsub)
+
+    for _ in range(n_iter):
+        bref = ray.put(books)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            b = ray.get(bref)  # (m, k, dsub)
+            s = _split(_unit(_vecs_np(batch.column(vec_col))), m)
+            # (n, m, k) squared dists via ||x||^2 - 2 x.c + ||c||^2;
+            # constant ||x||^2 dropped for the argmin
+            dots = np.einsum("nmd,mkd->nmk", s, b)
+            cn = np.einsum("mkd,mkd->mk", b, b)
+            cell = (cn[None] - 2.0 * dots).argmin(axis=2)  # (n, m)
+            sums = np.zeros_like(b)
+            counts = np.zeros((b.shape[0], b.shape[1]), dtype=np.float64)
+            for j in range(b.shape[0]):
+                np.add.at(sums[j], cell[:, j], s[:, j])
+                counts[j] = np.bincount(cell[:, j], minlength=b.shape[1])
+            flat = np.concatenate([sums.ravel(), counts.ravel()])
+            return pa.table({"p": pa.array([flat.tobytes()], pa.binary())})
+
+        rows = ds.map_batches(partials, batch_format="pyarrow",
+                              batch_size=65536).take_all()
+        acc = np.zeros(m * k * dsub + m * k)
+        for r in rows:
+            acc += np.frombuffer(r["p"], dtype=np.float64)
+        sums = acc[: m * k * dsub].reshape(m, k, dsub)
+        counts = acc[m * k * dsub:].reshape(m, k)
+        books = books.copy()
+        nz = counts > 0
+        books[nz] = sums[nz] / counts[nz][:, None]
+    return books
+
+
+def pq_encode(
+    ds: "ray.data.Dataset",
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """(id_col, code) with code a FixedSizeList<uint8>[m] column — the
+    M-byte compressed corpus representation that downstream ADC scans."""
+    bref = ray.put(np.asarray(books, dtype=np.float64))
+
+    def encode(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        s = _split(_unit(_vecs_np(t.column(vec_col))), b.shape[0])
+        dots = np.einsum("nmd,mkd->nmk", s, b)
+        cn = np.einsum("mkd,mkd->mk", b, b)
+        cell = (cn[None] - 2.0 * dots).argmin(axis=2).astype(np.uint8)
+        codes = pa.FixedSizeListArray.from_arrays(
+            pa.array(cell.ravel(), pa.uint8()), b.shape[0])
+        return pa.table({id_col: pa.compute.cast(t.column(id_col),
+                                                 pa.int64()),
+                         "code": codes})
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=8192)
+
+
+def pq_topk(
+    encoded: "ray.data.Dataset",
+    books: np.ndarray,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """ADC top-k over the encoded corpus: (query_id, vec_id, rank).
+
+    Per query the (m, K) LUT of exact query-to-centroid sub-distances is
+    precomputed ONCE (driver-side — a few KB) and broadcast; each batch's
+    approximate distances are pure table gathers summed over subspaces.
+    Deterministic tie-break (dist, vec_id); exactly min(k, corpus) rows
+    per query.
+    """
+    b = np.asarray(books, dtype=np.float64)
+    m = b.shape[0]
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    sq = _split(q, m)  # (nq, m, dsub)
+    # exact ||q_m - c||^2 per subspace/centroid
+    diff = sq[:, :, None, :] - b[None, :, :, :]  # (nq, m, k, dsub)
+    luts = np.einsum("nmkd,nmkd->nmk", diff, diff)
+    lref = ray.put(luts)
+    qids_ref = ray.put(np.asarray(query_ids, dtype=np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lut = ray.get(lref)  # (nq, m, k)
+        qids = ray.get(qids_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        col = t.column("code")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(t), m).astype(np.int64)
+        out_q, out_v, out_d = [], [], []
+        kk = min(k + (1 if exclude_self else 0), len(ids))
+        ar = np.arange(m)
+        for qi in range(lut.shape[0]):
+            d = lut[qi][ar, codes].sum(axis=1)  # (n,) gather+sum
+            idx = np.argpartition(d, kk - 1)[:kk]
+            out_q.append(np.full(idx.size, qids[qi], np.int64))
+            out_v.append(ids[idx].astype(np.int64))
+            out_d.append(d[idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "dist": pa.array(np.concatenate(out_d), pa.float64()),
+        })
+
+    partials = encoded.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=8192)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        qid = int(g["query_id"].iloc[0])
+        if exclude_self:
+            g = g[g["vec_id"] != qid]
+        g = g.sort_values(["dist", "vec_id"]).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        from .util import pd_to_arrow
+
+        return pd_to_arrow(g[["query_id", "vec_id", "rank"]])
+
+    return partials.groupby("query_id").map_groups(final,
+                                                   batch_format="pandas")
+
+
+def pq_topk_rerank(
+    encoded: "ray.data.Dataset",
+    raw: "ray.data.Dataset",
+    books: np.ndarray,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """IVFADC+R shape (Jégou et al. 2011 §V): ADC proposes ``mult * k``
+    candidates per query from the compressed corpus, then ONE pass over the
+    raw vectors restricted to the candidate union re-ranks exactly.
+
+    The union of candidates is tiny (queries x mult x k ids), so the
+    restriction is a broadcast sorted-id membership filter — the raw corpus
+    is scanned once and only candidate rows reach the exact matmul. Because
+    the exact pass sees the union (a superset of each query's own ADC list)
+    recall can only improve over pure ADC. Output contract matches
+    ``brute_force_topk``."""
+    cand = pq_topk(encoded, books, queries, query_ids, k=mult * k,
+                   id_col=id_col).to_pandas()
+    cand_ids = np.sort(np.unique(cand["vec_id"].to_numpy()))
+    ref = ray.put(cand_ids)
+
+    def member(t: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        v = t.column(id_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ids, v)
+        hit = (idx < len(ids)) & (ids[np.minimum(idx, len(ids) - 1)] == v)
+        return t.filter(pa.array(hit))
+
+    from .similarity import brute_force_topk
+
+    restricted = raw.map_batches(member, batch_format="pyarrow",
+                                 batch_size=8192)
+    return brute_force_topk(restricted, queries, query_ids, k=k,
+                            id_col=id_col, vec_col=vec_col)

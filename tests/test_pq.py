@@ -1,0 +1,90 @@
+"""Product quantization (ops/pq.py): recall vs brute force, encode
+determinism under re-sharding, and compression invariants."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from session_graph_ray.ops.pq import pq_encode, pq_topk, pq_train
+from session_graph_ray.ops.similarity import brute_force_topk
+
+
+def _clustered(n=600, d=32, n_clusters=12, seed=3):
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(n_clusters, d))
+    assign = rng.integers(0, n_clusters, size=n)
+    vecs = cents[assign] + 0.08 * rng.normal(size=(n, d))
+    return vecs
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    vecs = _clustered()
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.astype(np.float32) for v in vecs]),
+    })
+    return vecs, t
+
+
+def test_pq_recall_vs_brute_force(corpus):
+    vecs, t = corpus
+    ds = rd.from_arrow(t).repartition(4)
+    books = pq_train(ds, m=16, k=64, n_iter=6)
+    assert books.shape == (16, 64, 2)
+    enc = pq_encode(ds, books)
+    qids = [0, 100, 250, 400, 550]
+    queries = vecs[qids]
+    got = (pq_topk(enc, books, queries, qids, k=10)
+           .to_pandas().groupby("query_id").vec_id.apply(set))
+    want = (brute_force_topk(ds, queries, qids, k=10)
+            .to_pandas().groupby("query_id").vec_id.apply(set))
+    recalls = [len(got[q] & want[q]) / 10 for q in qids]
+    # within-cluster top-10 on near-equidistant points is the hard PQ
+    # regime; a 16x64 codebook holds most of it (measured 0.70)
+    assert np.mean(recalls) >= 0.55, recalls
+
+
+def test_pq_rerank_recovers_exact_topk(corpus):
+    from session_graph_ray.ops.pq import pq_topk_rerank
+
+    vecs, t = corpus
+    ds = rd.from_arrow(t).repartition(4)
+    books = pq_train(ds, m=8, k=16, n_iter=4)
+    enc = pq_encode(ds, books)
+    qids = [0, 100, 250, 400, 550]
+    queries = vecs[qids]
+    got = (pq_topk_rerank(enc, ds, books, queries, qids, k=10, mult=8)
+           .to_pandas().groupby("query_id").vec_id.apply(set))
+    want = (brute_force_topk(ds, queries, qids, k=10)
+            .to_pandas().groupby("query_id").vec_id.apply(set))
+    recalls = [len(got[q] & want[q]) / 10 for q in qids]
+    # exact re-rank of the ADC candidate union recovers nearly everything
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_pq_encode_partition_independent(corpus):
+    _, t = corpus
+    books = pq_train(rd.from_arrow(t).repartition(2), m=8, k=16, n_iter=2)
+    a = (pq_encode(rd.from_arrow(t).repartition(1), books)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    b = (pq_encode(rd.from_arrow(t).repartition(7), books)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert (a.vec_id == b.vec_id).all()
+    for x, y in zip(a.code, b.code):
+        assert list(x) == list(y)
+    # codes are genuinely compressed: m uint8 values spanning < 16 codes
+    assert all(len(c) == 8 and max(c) < 16 for c in a.code)
+
+
+def test_pq_topk_exact_row_contract(corpus):
+    vecs, t = corpus
+    ds = rd.from_arrow(t).repartition(3)
+    books = pq_train(ds, m=4, k=8, n_iter=2)
+    enc = pq_encode(ds, books)
+    out = pq_topk(enc, books, vecs[[7]], [7], k=10).to_pandas()
+    assert len(out) == 10
+    assert list(out["rank"]) == list(range(1, 11))
+    assert 7 not in set(out.vec_id)  # exclude_self
