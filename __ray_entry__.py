@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": A.q_waiting_suppliers,
         "doc_bigram_lm": A.q_doc_bigram_lm,
         "doc_mixture_sample": A.q_doc_mixture_sample,
+        "doc_triangles": A.q_doc_triangles,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1712,4 +1713,22 @@ def oracle_sql() -> dict[str, str]:
         # expanded with generate_series (thresholds quantized by the SAME
         # frac_threshold() the kernel uses)
         "doc_mixture_sample": _mixture_oracle(),
+        # triangle enumeration over the q_doc_pagerank planted graph:
+        # wedges closed by a 3-way self-join on DISTINCT undirected edges
+        "doc_triangles": """
+            WITH n AS (SELECT COUNT(*) AS n FROM documents),
+            e0 AS (
+              SELECT doc_id AS src,
+                     (doc_id * 48271 + t.i + 1) % (SELECT n FROM n) AS dst
+              FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS t(i)
+            ),
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                           GREATEST(src, dst) AS b
+                    FROM e0 WHERE src != dst)
+            SELECT x.a AS a, x.b AS b, y.b AS c
+            FROM und x
+            JOIN und y ON y.a = x.b
+            JOIN und z ON z.a = x.a AND z.b = y.b
+            ORDER BY a, b, c
+        """,
     }

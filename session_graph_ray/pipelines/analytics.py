@@ -3092,3 +3092,30 @@ def q_doc_mixture_sample(sf_dir: str) -> "rd.Dataset":
                          default_rate=0.25)
     return out.select_columns(["doc_id", "source", "epoch"]).sort(
         ["doc_id", "epoch"])
+
+
+def q_doc_triangles(sf_dir: str) -> "rd.Dataset":
+    """Distributed triangle enumeration (ops/triangles.py, degree-ordered
+    orientation) over the same planted deterministic doc graph as
+    q_doc_pagerank; each triangle emitted once as a sorted (a, b, c) row.
+    The oracle closes wedges with a 3-way self-join on the DISTINCT
+    undirected edge set."""
+    from ..ops.triangles import enumerate_triangles
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()  # parquet metadata count — no scan
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = (d % 3 + 1).astype(np.int64)
+        src = np.repeat(d, reps)
+        offs = np.arange(len(src), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        dst = (src * 48271 + offs + 1) % n
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    tri = enumerate_triangles(docs.map_batches(edges,
+                                               batch_format="pyarrow"))
+    return tri.sort(["a", "b", "c"])
