@@ -315,6 +315,32 @@ def _q_knn_pq(sf_dir: str):
                           k=10, mult=4)
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge learning (ops/bpe.py): 24 merges over the
+    documents word census. Iterative global argmax per round — not
+    SQL-expressible; the merge sequence is pinned against a pure-Python
+    reference trainer in tests/test_bpe.py."""
+    from session_graph_ray.sources.parquet import read_parquet_clean as _rp
+
+    from session_graph_ray.ops.bpe import train_bpe
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return train_bpe(docs, n_merges=24)
+
+
+def _q_doc_bpe_segments(sf_dir: str):
+    """Per-doc token counts after applying the learned BPE merges —
+    the chars-per-token compression diagnostic. Rows-only (depends on the
+    iterative trainer); segmentation parity pinned in tests/test_bpe.py."""
+    from session_graph_ray.sources.parquet import read_parquet_clean as _rp
+
+    from session_graph_ray.ops.bpe import bpe_segment_counts, train_bpe
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = train_bpe(docs, n_merges=24)
+    return bpe_segment_counts(docs, merges).sort("doc_id")
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -439,6 +465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": _q_pack_docs,
         "knn_ivf": _q_knn_ivf,
         "knn_pq": _q_knn_pq,
+        "bpe_merges": _q_bpe_merges,
+        "doc_bpe_segments": _q_doc_bpe_segments,
         "knn_graph": A.q_knn_graph,
         "media_features": _q_media_features,
     }

@@ -1,0 +1,230 @@
+"""Distributed BPE tokenizer training (merge learning).
+
+Public-method pedigree: "Neural Machine Translation of Rare Words with
+Subword Units" (Sennrich et al., ACL 2016) — repeatedly merge the most
+frequent adjacent symbol pair. The classic scale trick (used by every BPE
+trainer): train over the DISTINCT-WORD frequency table, not the raw corpus —
+the corpus collapses to (word, count) once, and every merge round then
+touches only distinct words.
+
+Ray-Data plan:
+  - the word census is ``wordcount.token_frequencies`` (combiner-before-
+    shuffle, bucketed vectorized reduce);
+  - words live as a flat int64 symbol column + per-word lengths (Unicode
+    codepoints initially; merged symbols get ids above 0x110000), so every
+    kernel is offset algebra over flat arrays — no per-word Python;
+  - each round: per-batch weighted pair counts -> ONE bucketed exchange
+    whose per-bucket kernel emits only its LOCAL top-1 (count desc, pair
+    asc) -> the driver reduces B candidate rows to the global winner — a
+    constant-size action per round, never a full pair table pull;
+  - the merge applies everywhere as a vectorized greedy left-to-right
+    replace (run-parity keeps alternating matches, which IS left-to-right
+    greedy for the only overlapping case a==b), and the round's table is
+    re-materialized for the next census.
+
+Driver cost per round: B candidate rows. Corpus cost per round: one pass
+over distinct words. Both are the structural minimum for exact BPE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from .wordcount import token_frequencies
+
+_NEW_BASE = 0x110000  # above any Unicode codepoint
+_PACK = np.int64(1) << 21  # symbol ids < 2^21 even after 10^6 merges
+
+
+def _words_to_symbols(words: "rd.Dataset") -> "rd.Dataset":
+    """(token, n) -> (sym flat list<int64>, n) — codepoint symbol rows."""
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = t.column("token").to_pylist()  # once, at census size
+        syms = [np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32)
+                .astype(np.int64) for w in toks]
+        flat = (np.concatenate(syms) if syms
+                else np.empty(0, np.int64))
+        lengths = np.array([len(s) for s in syms], dtype=np.int32)
+        return pa.table({
+            "sym": pa.ListArray.from_arrays(
+                pa.array(np.r_[0, np.cumsum(lengths)], pa.int32()),
+                pa.array(flat, pa.int64())),
+            "n": t.column("n"),
+        })
+
+    return words.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+def _flat(t: pa.Table):
+    import pyarrow.compute as pc
+
+    col = t.column("sym")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = col.flatten().to_numpy(zero_copy_only=False)
+    # list_value_length (not raw offsets): correct under slicing
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    return s.astype(np.int64), lengths.astype(np.int64), n.astype(np.int64)
+
+
+def _pair_partial(num_buckets: int = 64):
+    def f(t: pa.Table) -> pa.Table:
+        s, lengths, n = _flat(t)
+        if len(s) < 2:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "__bkt": pa.array([], pa.int32())})
+        wid = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        inner = wid[:-1] == wid[1:]  # adjacent within the same word
+        pk = (s[:-1] * _PACK + s[1:])[inner]
+        w = n[wid[:-1][inner]]
+        vals, inv = np.unique(pk, return_inverse=True)
+        c = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(c, inv, w)
+        return pa.table({"pk": pa.array(vals), "c": pa.array(c),
+                         "__bkt": pa.array(
+                             (vals % num_buckets).astype(np.int32))})
+
+    return f
+
+
+def _bucket_top1(g: pa.Table) -> pa.Table:
+    pk = g["pk"].to_numpy(zero_copy_only=False)
+    c = g["c"].to_numpy(zero_copy_only=False)
+    vals, inv = np.unique(pk, return_inverse=True)
+    s = np.zeros(len(vals), dtype=np.int64)
+    np.add.at(s, inv, c)
+    # local winner: count desc, pair asc — vals are sorted so the first
+    # occurrence of the max is the smallest pair id
+    i = int(np.argmax(s))
+    return pa.table({"pk": pa.array([vals[i]]), "c": pa.array([int(s[i])])})
+
+
+def _apply_merge(a: int, b: int, z: int):
+    def f(t: pa.Table) -> pa.Table:
+        s, lengths, n = _flat(t)
+        wid = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        if len(s) < 2:
+            return t
+        m = np.zeros(len(s), dtype=bool)
+        m[:-1] = (s[:-1] == a) & (s[1:] == b) & (wid[:-1] == wid[1:])
+        # greedy left-to-right: inside a run of consecutive matches (only
+        # possible when a == b), keep alternating positions from the start
+        starts = m & ~np.r_[False, m[:-1]]
+        run_id = np.cumsum(starts)
+        pos_in_run = np.arange(len(s)) - np.maximum.accumulate(
+            np.where(starts, np.arange(len(s)), -1))
+        keep = m & (pos_in_run % 2 == 0)
+        out = s.copy()
+        out[keep] = z
+        drop = np.r_[False, keep[:-1]]
+        new_lengths = lengths - np.bincount(
+            wid[keep], minlength=len(lengths)).astype(np.int64)
+        flat = out[~drop]
+        return pa.table({
+            "sym": pa.ListArray.from_arrays(
+                pa.array(np.r_[0, np.cumsum(new_lengths)].astype(np.int32)),
+                pa.array(flat, pa.int64())),
+            "n": t.column("n"),
+        })
+
+    return f
+
+
+def train_bpe(
+    ds: "rd.Dataset",
+    n_merges: int = 32,
+    text_col: str = "text",
+) -> pa.Table:
+    """Learn ``n_merges`` BPE merges; returns (round, left, right, new_id,
+    pair_count, token) with ``token`` the merged symbol spelled out."""
+    words = _words_to_symbols(token_frequencies(ds, text_col=text_col))
+    words = words.materialize()
+
+    spell: dict[int, str] = {}
+
+    def spelled(sym: int) -> str:
+        return spell[sym] if sym >= _NEW_BASE else chr(sym)
+
+    rounds, lefts, rights, news, counts, toks = [], [], [], [], [], []
+    for r in range(n_merges):
+        cands = (words.map_batches(_pair_partial(), batch_format="pyarrow")
+                 .groupby("__bkt")
+                 .map_groups(_bucket_top1, batch_format="pyarrow")
+                 .to_pandas())
+        if not len(cands):
+            break
+        # global winner over <=B local winners: count desc, pair asc
+        cands = cands.sort_values(["c", "pk"],
+                                  ascending=[False, True])
+        pk, c = int(cands.pk.iloc[0]), int(cands.c.iloc[0])
+        if c < 2:
+            break  # nothing merges twice — stop like reference trainers
+        a, b = pk // int(_PACK), pk % int(_PACK)
+        z = _NEW_BASE + r
+        spell[z] = spelled(a) + spelled(b)
+        rounds.append(r)
+        lefts.append(a)
+        rights.append(b)
+        news.append(z)
+        counts.append(c)
+        toks.append(spell[z])
+        words = words.map_batches(_apply_merge(a, b, z),
+                                  batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "round": pa.array(rounds, pa.int64()),
+        "left": pa.array(lefts, pa.int64()),
+        "right": pa.array(rights, pa.int64()),
+        "new_id": pa.array(news, pa.int64()),
+        "pair_count": pa.array(counts, pa.int64()),
+        "token": pa.array(toks),
+    })
+
+
+def bpe_segment_counts(
+    ds: "rd.Dataset",
+    merges: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Per-doc token count after applying the learned merges in order —
+    the compression diagnostic (chars-per-token) a tokenizer report needs.
+    Merges ride into the batch closure (a few KB); each batch applies all
+    R merges to its flat symbol stream with the same vectorized kernel."""
+    ml = [(int(a), int(b), int(z)) for a, b, z in zip(
+        merges["left"].to_pylist(), merges["right"].to_pylist(),
+        merges["new_id"].to_pylist())]
+
+    def f(t: pa.Table) -> pa.Table:
+        from .wordcount import _flat_tokens
+
+        flat, lengths = _flat_tokens(t.column(text_col))
+        toks = flat.to_pylist()
+        syms = [np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32)
+                .astype(np.int64) for w in toks]
+        s = (np.concatenate(syms) if syms else np.empty(0, np.int64))
+        wl = np.array([len(x) for x in syms], dtype=np.int64)
+        inner = pa.table({
+            "sym": pa.ListArray.from_arrays(
+                pa.array(np.r_[0, np.cumsum(wl)].astype(np.int32)),
+                pa.array(s, pa.int64())),
+            "n": pa.array(np.ones(len(wl), dtype=np.int64)),
+        })
+        for a, b, z in ml:
+            inner = _apply_merge(a, b, z)(inner)
+        _, wl2, _ = _flat(inner)
+        # word -> doc re-aggregation
+        did = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        per_doc = np.bincount(did, weights=wl2,
+                              minlength=len(lengths)).astype(np.int64)
+        return pa.table({id_col: t.column(id_col),
+                         "n_tokens": pa.array(per_doc),
+                         "n_words": pa.array(lengths.astype(np.int64))})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
