@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_lm": A.q_doc_bigram_lm,
         "doc_mixture_sample": A.q_doc_mixture_sample,
         "doc_triangles": A.q_doc_triangles,
+        "source_kl": A.q_source_kl,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1758,5 +1759,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN und y ON y.a = x.b
             JOIN und z ON z.a = x.a AND z.b = y.b
             ORDER BY a, b, c
+        """,
+        # per-source KL(source || corpus): identical IEEE-double term tree
+        # on identical int64 counts, micro-unit floor before the sum
+        "source_kl": r"""
+            WITH tk AS (SELECT source,
+                               unnest(regexp_extract_all(text, '\S+')) AS tok
+                        FROM documents),
+            cst AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM tk GROUP BY source, tok),
+            ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct
+                   FROM cst GROUP BY tok),
+            ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens
+                   FROM cst GROUP BY source),
+            n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cst),
+            terms AS (
+              SELECT cst.source,
+                     CAST(FLOOR(CAST(cst.c AS DOUBLE)
+                                / CAST(ns.n_tokens AS DOUBLE)
+                                * LN((CAST(cst.c AS DOUBLE)
+                                      * CAST(n.n AS DOUBLE))
+                                     / (CAST(ct.ct AS DOUBLE)
+                                        * CAST(ns.n_tokens AS DOUBLE)))
+                                * 1e6 + 0.5) AS BIGINT) AS u
+              FROM cst
+              JOIN ct USING (tok)
+              JOIN ns USING (source), n
+            )
+            SELECT t.source, ns.n_tokens,
+                   CAST(SUM(t.u) AS BIGINT) AS kl_u
+            FROM terms t JOIN ns ON ns.source = t.source
+            GROUP BY t.source, ns.n_tokens
+            ORDER BY t.source
         """,
     }

@@ -3119,3 +3119,15 @@ def q_doc_triangles(sf_dir: str) -> "rd.Dataset":
     tri = enumerate_triangles(docs.map_batches(edges,
                                                batch_format="pyarrow"))
     return tri.sort(["a", "b", "c"])
+
+
+def q_source_kl(sf_dir: str) -> "rd.Dataset":
+    """Per-source vocabulary drift (ops/drift.source_kl): KL(source||corpus)
+    over the unigram census in exact micro-units. One token-bucketed
+    exchange attaches corpus totals locally (every source's rows for a
+    token land in the same bucket); the oracle evaluates the identical
+    IEEE-double term tree on the same integer counts."""
+    from ..ops.drift import source_kl
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return source_kl(docs)
