@@ -341,6 +341,35 @@ def _q_doc_bpe_segments(sf_dir: str):
     return bpe_segment_counts(docs, merges).sort("doc_id")
 
 
+def _q_media_phash_dups(sf_dir: str):
+    """Perceptual-hash image dedup (ops/phash.py): dHash in an actor pool,
+    banded Hamming-LSH pairing with counted truncation. Deterministic
+    synthetic image table with planted exact copies (every 7th image
+    repeats payload) — rows-only; recall/quarantine/truncation pinned in
+    tests/test_phash.py."""
+    import ray.data as rd
+
+    from session_graph_ray.ops.multimodal import synthesize_media_table
+    from session_graph_ray.ops.phash import media_phashes, phash_dup_pairs
+
+    media = synthesize_media_table(n=96)
+    imgs = media.filter(
+        __import__("pyarrow").compute.equal(media["kind"], "image"))
+    ids = imgs["media_id"].to_pylist()
+    payloads = imgs["payload"].to_pylist()
+    import pyarrow as _pa
+
+    dup_ids = [f"dup_{i}" for i in range(0, len(ids), 7)]
+    dup_payloads = [payloads[i] for i in range(0, len(ids), 7)]
+    t = _pa.table({
+        "media_id": _pa.array(ids + dup_ids, _pa.string()),
+        "payload": _pa.array(payloads + dup_payloads, _pa.large_binary()),
+    })
+    hashes = media_phashes(rd.from_arrow(t)).materialize()
+    return phash_dup_pairs(hashes, max_dist=3).sort(
+        ["media_a", "media_b"])
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -470,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_segments": _q_doc_bpe_segments,
         "knn_graph": A.q_knn_graph,
         "media_features": _q_media_features,
+        "media_phash_dups": _q_media_phash_dups,
     }
 
 
