@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample": A.q_doc_mixture_sample,
         "doc_triangles": A.q_doc_triangles,
         "source_kl": A.q_source_kl,
+        "user_type_history": A.q_user_type_history,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1821,5 +1822,32 @@ def oracle_sql() -> dict[str, str]:
             FROM terms t JOIN ns ON ns.source = t.source
             GROUP BY t.source, ns.n_tokens
             ORDER BY t.source
+        """,
+        # SCD2 change history: LAG filters to change rows, LEAD attaches
+        # each change's validity end; same dense type-id mapping
+        "user_type_history": """
+            WITH m AS (
+              SELECT event_type,
+                     CAST(row_number() OVER (ORDER BY event_type)
+                          AS BIGINT) AS tid
+              FROM (SELECT DISTINCT event_type FROM events)
+            ),
+            e AS (SELECT e.user_id, e.event_id,
+                         CAST(epoch_us(e.ts) AS BIGINT) AS o, m.tid
+                  FROM events e JOIN m USING (event_type)),
+            w AS (SELECT *, LAG(tid) OVER (
+                    PARTITION BY user_id ORDER BY o, event_id) AS pv
+                  FROM e),
+            ch AS (SELECT user_id, tid, event_id, o FROM w
+                   WHERE pv IS NULL OR pv != tid),
+            h AS (SELECT user_id, tid AS type_id, event_id AS change_id,
+                         o AS valid_from,
+                         LEAD(o) OVER (PARTITION BY user_id
+                                       ORDER BY o, event_id) AS valid_to
+                  FROM ch)
+            SELECT user_id, type_id, change_id, valid_from,
+                   CAST(valid_to AS BIGINT) AS valid_to
+            FROM h
+            ORDER BY user_id, valid_from, change_id
         """,
     }

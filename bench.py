@@ -165,6 +165,11 @@ def run_bench(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
           lambda: A.q_user_rolling_value_1h(sf_dir).materialize())
     timed("cust_order_distribution",
           lambda: A.q_cust_order_distribution(sf_dir).materialize())
+    timed("waiting_suppliers",
+          lambda: A.q_waiting_suppliers(sf_dir).materialize())
+    timed("doc_bigram_lm", lambda: A.q_doc_bigram_lm(sf_dir).materialize())
+    timed("doc_triangles", lambda: A.q_doc_triangles(sf_dir).materialize())
+    timed("source_kl", lambda: A.q_source_kl(sf_dir).materialize())
 
     headline = timings.get("er_pipeline", sum(timings.values()))
     return {

@@ -187,3 +187,74 @@ def grouped_lag(
     return exchange_map_groups(
         ds, kernel, None, B, out_schema.empty_table(), bucket_fn=bucket_fn
     )
+
+
+def scd2_history(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    schema: pa.Schema,
+    cfg: ERConfig | None = None,
+) -> "ray.data.Dataset":
+    """Slowly-changing-dimension (type 2) history from an event stream:
+    per key, ordered by (order, tiebreak), keep only the rows where
+    ``value_col`` CHANGES (the first row always changes), and attach each
+    change's validity interval — ``valid_from`` = its own order value,
+    ``valid_to`` = the NEXT change's order value (null while current).
+    The dimension-table-building primitive CDC pipelines run after
+    ``compact.latest_per_key``: latest gives you now, this gives you when.
+
+    Same window-kernel shape as ``grouped_lag``: one bucketed exchange on
+    the key, one lexsort, shift-compare for the change mask and a
+    next-kept-row shift for ``valid_to`` — no per-row Python. Values and
+    order cast losslessly to int64 (ints, timestamps); output columns:
+    (key, value, change_id [= tiebreak], valid_from, valid_to?).
+    """
+    cfg = cfg or ERConfig()
+    B = cfg.hash_buckets
+    out_schema = pa.schema([
+        (key_col, pa.int64()), (value_col, pa.int64()),
+        ("change_id", pa.int64()), ("valid_from", pa.int64()),
+        ("valid_to", pa.int64()),
+    ])
+
+    def bucket_fn(t: pa.Table) -> np.ndarray:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (k % np.uint64(B)).astype(np.int64)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        k = g.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        o = g.column(order_col).to_numpy(zero_copy_only=False)
+        o = o.view("i8") if o.dtype.kind == "M" else o.astype(np.int64)
+        tb = g.column(tiebreak_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        v = g.column(value_col).to_numpy(zero_copy_only=False)
+        v = v.view("i8") if v.dtype.kind == "M" else v.astype(np.int64)
+        order = np.lexsort((tb, o, k))
+        k, o, tb, v = k[order], o[order], tb[order], v[order]
+        first = np.r_[True, k[1:] != k[:-1]]
+        changed = first | np.r_[False, v[1:] != v[:-1]]
+        ck, co, ctb, cv = k[changed], o[changed], tb[changed], v[changed]
+        # next change within the same key (rows are still (key, order,
+        # tiebreak)-sorted after the mask)
+        nxt = np.empty(len(ck), dtype=np.int64)
+        nxt[:-1] = co[1:]
+        open_end = np.r_[ck[1:] != ck[:-1], True]
+        return pa.table({
+            key_col: pa.array(ck),
+            value_col: pa.array(cv),
+            "change_id": pa.array(ctb),
+            "valid_from": pa.array(co),
+            "valid_to": pa.array(np.where(open_end, 0, nxt), pa.int64(),
+                                 mask=open_end),
+        })
+
+    from .exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        ds, kernel, None, B, out_schema.empty_table(), bucket_fn=bucket_fn
+    )

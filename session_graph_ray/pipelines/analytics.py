@@ -3131,3 +3131,43 @@ def q_source_kl(sf_dir: str) -> "rd.Dataset":
 
     docs = _rp(f"{sf_dir}/documents.parquet", columns=["source", "text"])
     return source_kl(docs)
+
+
+def q_user_type_history(sf_dir: str) -> "rd.Dataset":
+    """SCD2 change history (ops/window.scd2_history): per user, the
+    event-type change log with validity intervals — valid_from = the
+    change's timestamp (microseconds), valid_to = the next change's (null
+    while current). Event types map to dense ids via the tiny sorted
+    distinct-type table (driver-held; the oracle derives the identical
+    mapping with row_number over DISTINCT)."""
+    from ..ops.window import scd2_history
+
+    ev = _rp(f"{sf_dir}/events.parquet",
+             columns=["event_id", "ts", "user_id", "event_type"])
+    types = sorted(set(
+        ev.groupby("event_type").count().to_pandas()["event_type"]))
+    tid_of = {t: i + 1 for i, t in enumerate(types)}
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        # tid lookup once per DISTINCT type, then one vectorized gather
+        lut = np.array([tid_of[x] for x in enc.dictionary.to_pylist()],
+                       dtype=np.int64)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "o": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "type_id": pa.array(lut[codes], pa.int64()),
+        })
+
+    schema = pa.schema([("user_id", pa.int64()), ("o", pa.int64()),
+                        ("event_id", pa.int64()), ("type_id", pa.int64())])
+    hist = scd2_history(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        key_col="user_id", order_col="o", tiebreak_col="event_id",
+        value_col="type_id", schema=schema)
+    return hist.sort(["user_id", "valid_from", "change_id"])

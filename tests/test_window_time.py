@@ -95,3 +95,46 @@ def test_grouped_mode_tiebreak_and_partition_independence(ray_session):
     want = {1: ("a", 2), 2: ("z", 2), 3: ("m", 1)}
     assert run(1) == want
     assert run(5) == want
+
+
+def test_scd2_history_semantics_and_partition_independence():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from session_graph_ray.ops.window import scd2_history
+
+    # user 1: A A B B A (changes at rows 0, 2, 4); user 2: single row;
+    # user 3: tie on the order column resolved by tiebreak
+    rows = [
+        (1, 10, 100, 7), (1, 20, 101, 7), (1, 30, 102, 8),
+        (1, 40, 103, 8), (1, 50, 104, 7),
+        (2, 10, 200, 9),
+        (3, 10, 300, 5), (3, 10, 301, 6),
+    ]
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "o": pa.array([r[1] for r in rows], pa.int64()),
+        "tb": pa.array([r[2] for r in rows], pa.int64()),
+        "v": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    schema = t.schema
+
+    def run(parts):
+        return (scd2_history(rd.from_arrow(t).repartition(parts),
+                             key_col="k", order_col="o", tiebreak_col="tb",
+                             value_col="v", schema=schema)
+                .to_pandas()
+                .sort_values(["k", "valid_from", "change_id"])
+                .reset_index(drop=True))
+
+    got = run(1)
+    recs = [tuple(None if x is None or (isinstance(x, float) and np.isnan(x))
+                  else int(x) for x in r)
+            for r in got.itertuples(index=False)]
+    assert recs == [
+        (1, 7, 100, 10, 30), (1, 8, 102, 30, 50), (1, 7, 104, 50, None),
+        (2, 9, 200, 10, None),
+        (3, 5, 300, 10, 10), (3, 6, 301, 10, None),
+    ]
+    assert got.equals(run(5))
