@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_triangles": A.q_doc_triangles,
         "source_kl": A.q_source_kl,
         "user_type_history": A.q_user_type_history,
+        "source_overlap": A.q_source_overlap,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1849,5 +1850,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(valid_to AS BIGINT) AS valid_to
             FROM h
             ORDER BY user_id, valid_from, change_id
+        """,
+        # cross-source duplicate-overlap matrix on planted mirror content;
+        # the oracle intersects full STRINGS (guards the 64-bit text hash)
+        "source_overlap": """
+            WITH planted AS (
+              SELECT source,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN 'SHARED_' || CAST(doc_id % 7 AS VARCHAR)
+                          ELSE text END AS text
+              FROM documents
+            ),
+            d AS (SELECT DISTINCT source, text FROM planted),
+            p AS (SELECT a.text, a.source AS source_a, b.source AS source_b
+                  FROM d a JOIN d b
+                    ON a.text = b.text AND a.source < b.source)
+            SELECT source_a, source_b,
+                   CAST(COUNT(DISTINCT text) AS BIGINT) AS n_shared
+            FROM p GROUP BY source_a, source_b
+            ORDER BY source_a, source_b
         """,
     }

@@ -142,3 +142,90 @@ def source_kl(
                          "kl_u": t.column("kl_u")})
 
     return agg.map_batches(finish, batch_format="pyarrow").sort(group_col)
+
+
+def source_overlap(
+    ds: "rd.Dataset",
+    group_col: str = "source",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """(source_a, source_b, n_shared): for every source pair, how many
+    DISTINCT contents appear in both — the cross-source contamination
+    matrix (mirror sites, scraper overlap, re-crawls) a mixture curator
+    reads before weighting sources.
+
+    One content-hash-bucketed exchange: each bucket kernel sees every
+    source's rows for its hashes, dedups (hash, source), and expands each
+    hash's source set into pairs with the same segmented-numpy algebra as
+    the triangle wedge kernel — pair counts pre-aggregate per bucket, so
+    the final groupby moves at most buckets x |sources|^2 rows. Content
+    identity is a 64-bit text hash (collision ~2^-64); the DuckDB oracle
+    compares on full STRINGS, guarding collisions at test scale."""
+    from ..functions.hashing import hash64_np
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        if not texts:
+            return pa.table({"sha": pa.array([], pa.int64()),
+                             group_col: pa.array([], pa.string()),
+                             "__bkt": pa.array([], pa.int32())})
+        h = hash64_np(texts).view(np.int64)
+        src = t.column(group_col).to_numpy(zero_copy_only=False)
+        svals, scodes = np.unique(src, return_inverse=True)
+        # lexsort dedup of (hash, source) — NOT hash*n+code packing, which
+        # overflows int64 for full-range hashes and the wrap scrambles
+        # key % n (the source code)
+        order = np.lexsort((scodes, h))
+        hh, ss = h[order], scodes[order]
+        keep = np.r_[True, (hh[1:] != hh[:-1]) | (ss[1:] != ss[:-1])]
+        hh, ss = hh[keep], ss[keep]
+        return pa.table({
+            "sha": pa.array(hh),
+            group_col: pa.array(svals[ss]),
+            "__bkt": pa.array(
+                (hh % num_buckets).astype(np.int32)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+
+    def kern(g: pa.Table) -> pa.Table:
+        sha = g.column("sha").to_numpy(zero_copy_only=False)
+        src = g.column(group_col).to_numpy(zero_copy_only=False)
+        svals, scodes = np.unique(src, return_inverse=True)
+        # same lexsort dedup as the partial (overflow-safe)
+        order = np.lexsort((scodes, sha))
+        vh, vs = sha[order], scodes[order].astype(np.int64)
+        keep = np.r_[True, (vh[1:] != vh[:-1]) | (vs[1:] != vs[:-1])]
+        vh, vs = vh[keep], vs[keep]
+        # per-sha segments over (sha, source-code) sorted rows: all pairs
+        starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]])
+        counts = np.diff(np.r_[starts, len(vh)])
+        idx = np.arange(len(vh), dtype=np.int64) - np.repeat(starts, counts)
+        total = int(idx.sum())
+        if total == 0:
+            return pa.table({"source_a": pa.array([], pa.string()),
+                             "source_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        seg_start = np.repeat(starts, counts)
+        offs = np.cumsum(idx) - idx
+        first_idx = (np.repeat(seg_start, idx)
+                     + (np.arange(total, dtype=np.int64)
+                        - np.repeat(offs, idx)))
+        a = vs[first_idx]            # earlier source code (codes sorted
+        b = np.repeat(vs, idx)       # within a sha segment), so a < b
+        pk = a * np.int64(len(svals)) + b
+        pv, pc_ = np.unique(pk, return_counts=True)
+        return pa.table({
+            "source_a": pa.array(svals[pv // len(svals)]),
+            "source_b": pa.array(svals[pv % len(svals)]),
+            "n": pa.array(pc_.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (parts.groupby("__bkt").map_groups(kern, batch_format="pyarrow")
+            .groupby(["source_a", "source_b"])
+            .aggregate(Sum("n", alias_name="n_shared"))
+            .sort(["source_a", "source_b"]))

@@ -3171,3 +3171,26 @@ def q_user_type_history(sf_dir: str) -> "rd.Dataset":
         key_col="user_id", order_col="o", tiebreak_col="event_id",
         value_col="type_id", schema=schema)
     return hist.sort(["user_id", "valid_from", "change_id"])
+
+
+def q_source_overlap(sf_dir: str) -> "rd.Dataset":
+    """Cross-source duplicate-overlap matrix (ops/drift.source_overlap):
+    distinct shared contents per source pair. Every 5th doc's text is
+    replaced by one of 7 canonical strings (planted mirror content — the
+    raw corpus is all-unique), so the matrix is non-trivial; the DuckDB
+    oracle plants identically and intersects on full strings."""
+    from ..ops.drift import source_overlap
+
+    docs = _rp(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "source", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        shared = pc.binary_join_element_wise(
+            pa.array(np.full(len(d), "SHARED_")),
+            pa.array((d % 7).astype("U1")), "")
+        txt = pc.if_else(pa.array(d % 5 == 0), shared, t["text"])
+        return pa.table({"source": t["source"], "text": txt})
+
+    return source_overlap(
+        docs.map_batches(plant, batch_format="pyarrow", batch_size=8192))

@@ -68,3 +68,37 @@ def test_source_kl_partition_independent():
     a = source_kl(rd.from_arrow(t).repartition(1)).to_pandas()
     b = source_kl(rd.from_arrow(t).repartition(9)).to_pandas()
     assert a.equals(b)
+
+
+def test_source_overlap_matches_brute_force():
+    from itertools import combinations
+
+    from session_graph_ray.ops.drift import source_overlap
+
+    rng = np.random.default_rng(9)
+    srcs = [f"s{i}" for i in range(6)]
+    rows = []
+    # unique texts + mirror content shared across overlapping source sets
+    for i in range(150):
+        rows.append((srcs[i % 6], f"unique text number {i}"))
+    for j in range(12):
+        for s in rng.choice(srcs, size=rng.integers(2, 5), replace=False):
+            rows.append((s, f"mirrored boilerplate {j}"))
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array([s for s, _ in rows]),
+        "text": pa.array([t for _, t in rows]),
+    })).repartition(5)
+    got = {(r.source_a, r.source_b): int(r.n_shared)
+           for r in source_overlap(ds).to_pandas().itertuples(index=False)}
+
+    from collections import defaultdict
+
+    by_text = defaultdict(set)
+    for s, t in rows:
+        by_text[t].add(s)
+    want = defaultdict(int)
+    for t, ss in by_text.items():
+        for a, b in combinations(sorted(ss), 2):
+            want[(a, b)] += 1
+    assert got == dict(want)
+    assert len(got) > 5  # non-trivial matrix
