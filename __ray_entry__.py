@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": A.q_source_kl,
         "user_type_history": A.q_user_type_history,
         "source_overlap": A.q_source_overlap,
+        "events_cdc_snapshot": A.q_events_cdc_snapshot,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1869,5 +1870,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT text) AS BIGINT) AS n_shared
             FROM p GROUP BY source_a, source_b
             ORDER BY source_a, source_b
+        """,
+        # CDC apply: base snapshot + tombstoned changelog -> maintained
+        # snapshot (upserts win by recency, deletes drop the key)
+        "events_cdc_snapshot": f"""
+            WITH e AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(event_id AS BIGINT) AS event_id,
+                     CAST(epoch_us(ts) AS BIGINT) AS o,
+                     {_CENTS.format(x='value')} AS value_c
+              FROM events
+            ),
+            split AS (SELECT CAST(epoch_us(TIMESTAMP '2024-02-15')
+                             AS BIGINT) AS s),
+            base AS (
+              SELECT user_id, event_id, o, value_c, 'U' AS op
+              FROM e, split WHERE o < s
+              QUALIFY row_number() OVER (PARTITION BY user_id
+                      ORDER BY o DESC, event_id DESC) = 1
+            ),
+            chg AS (
+              SELECT user_id, event_id, o, value_c,
+                     CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+              FROM e, split WHERE o >= s
+            ),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+            last AS (
+              SELECT * FROM u
+              QUALIFY row_number() OVER (PARTITION BY user_id
+                      ORDER BY o DESC, event_id DESC) = 1
+            )
+            SELECT user_id, event_id AS last_event_id, o AS last_ts_us,
+                   value_c AS last_value_c
+            FROM last WHERE op != 'D'
+            ORDER BY user_id
         """,
     }

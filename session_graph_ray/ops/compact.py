@@ -72,3 +72,36 @@ def latest_per_key(
     return exchange_map_groups(
         ds, kernel, None, B, schema.empty_table(), bucket_fn=bucket_fn
     )
+
+
+def apply_cdc(
+    base: "ray.data.Dataset",
+    changes: "ray.data.Dataset",
+    key_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    op_col: str,
+    schema: pa.Schema,
+    delete_op: str = "D",
+    cfg: ERConfig | None = None,
+) -> "ray.data.Dataset":
+    """Apply a changelog to a base snapshot: ``base UNION changes`` ->
+    latest row per key by ``(order, tiebreak)`` -> rows whose final op is
+    ``delete_op`` drop out. The snapshot-maintenance primitive of every
+    log-structured ingest (upserts win by recency, deletes tombstone the
+    key) — one bucketed exchange total, payload rides untouched.
+
+    Both inputs must share ``schema`` (including ``op_col``; tag base rows
+    with a non-delete op). The caller guarantees base orders sort below
+    change orders for the same key — true by construction when base is a
+    compacted earlier epoch and changes are the next epoch's log."""
+    merged = base.union(changes)
+    latest = latest_per_key(merged, key_col, order_col, tiebreak_col,
+                            schema, cfg)
+
+    def live(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.not_equal(t[op_col], pa.scalar(delete_op)))
+
+    return latest.map_batches(live, batch_format="pyarrow")

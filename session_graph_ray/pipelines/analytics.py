@@ -3194,3 +3194,58 @@ def q_source_overlap(sf_dir: str) -> "rd.Dataset":
 
     return source_overlap(
         docs.map_batches(plant, batch_format="pyarrow", batch_size=8192))
+
+
+def q_events_cdc_snapshot(sf_dir: str) -> "rd.Dataset":
+    """CDC apply (ops/compact.apply_cdc): the epoch's first half compacts
+    into a base snapshot (latest event per user), the second half replays
+    as a changelog where every 17th event id is a DELETE tombstone; the
+    result is the maintained snapshot — upserts win by recency, deleted
+    users drop out. One exchange builds the base, one applies the log."""
+    from ..ops.compact import apply_cdc, latest_per_key
+
+    ev = _rp(f"{sf_dir}/events.parquet",
+             columns=["event_id", "ts", "user_id", "value"])
+    split = int(np.datetime64("2024-02-15", "us").view("i8"))
+
+    def prep(lo: bool):
+        def f(t: pa.Table) -> pa.Table:
+            o = t["ts"].cast(pa.int64())
+            mask = (pc.less(o, pa.scalar(split)) if lo
+                    else pc.greater_equal(o, pa.scalar(split)))
+            t = t.filter(mask)
+            o = t["ts"].cast(pa.int64())
+            eid = t["event_id"].cast(pa.int64())
+            if lo:
+                op = pa.array(np.full(t.num_rows, "U"), pa.string())
+            else:
+                tomb = eid.to_numpy(zero_copy_only=False) % 17 == 0
+                op = pa.array(np.where(tomb, "D", "U"))
+            return pa.table({
+                "user_id": t["user_id"].cast(pa.int64()),
+                "event_id": eid, "o": o,
+                "value_c": _cents(t["value"]), "op": op,
+            })
+
+        return f
+
+    schema = pa.schema([("user_id", pa.int64()), ("event_id", pa.int64()),
+                        ("o", pa.int64()), ("value_c", pa.int64()),
+                        ("op", pa.string())])
+    first = ev.map_batches(prep(True), batch_format="pyarrow",
+                           batch_size=65536)
+    base = latest_per_key(first, "user_id", "o", "event_id", schema)
+    changes = ev.map_batches(prep(False), batch_format="pyarrow",
+                             batch_size=65536)
+    snap = apply_cdc(base, changes, "user_id", "o", "event_id", "op",
+                     schema)
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "last_event_id": t["event_id"],
+            "last_ts_us": t["o"],
+            "last_value_c": t["value_c"],
+        })
+
+    return snap.map_batches(out, batch_format="pyarrow").sort("user_id")
