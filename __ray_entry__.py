@@ -472,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_history": A.q_user_type_history,
         "source_overlap": A.q_source_overlap,
         "events_cdc_snapshot": A.q_events_cdc_snapshot,
+        "docs_evolved_union": A.q_docs_evolved_union,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1904,5 +1905,14 @@ def oracle_sql() -> dict[str, str]:
                    value_c AS last_value_c
             FROM last WHERE op != 'D'
             ORDER BY user_id
+        """,
+        # schema-evolution union: nulls exactly where a column didn't
+        # exist in that ingest epoch
+        "docs_evolved_union": """
+            SELECT doc_id,
+                   CASE WHEN doc_id < 300 THEN lang END AS lang,
+                   CASE WHEN doc_id >= 150 THEN source END AS source
+            FROM documents
+            ORDER BY doc_id
         """,
     }

@@ -3249,3 +3249,39 @@ def q_events_cdc_snapshot(sf_dir: str) -> "rd.Dataset":
         })
 
     return snap.map_batches(out, batch_format="pyarrow").sort("user_id")
+
+
+def q_docs_evolved_union(sf_dir: str) -> "rd.Dataset":
+    """Schema-evolution reader (sources/parquet.read_parquet_evolved):
+    three ingest epochs of the documents table carry different column
+    sets — epoch 1 (doc_id, lang), epoch 2 (doc_id, lang, source),
+    epoch 3 (doc_id, source) — written as real parquet files and read
+    back as ONE dataset over the union schema with nulls where a column
+    didn't exist yet. The oracle derives the identical null pattern from
+    the registered documents view with CASE on the epoch boundaries."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from ..sources.parquet import read_parquet_evolved
+
+    full = _rp(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "lang", "source"]).to_arrow_refs()
+    import ray as _ray
+
+    t = pa.concat_tables(_ray.get(full))
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    d = t["doc_id"].to_numpy()
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"evolved_{abs(hash(sf_dir)) % 10**8}")
+    os.makedirs(out_dir, exist_ok=True)
+    e1 = t.filter(pa.array(d < 150)).select(["doc_id", "lang"])
+    e2 = t.filter(pa.array((d >= 150) & (d < 300)))
+    e3 = t.filter(pa.array(d >= 300)).select(["doc_id", "source"])
+    p1, p2, p3 = (os.path.join(out_dir, f"epoch{i}.parquet")
+                  for i in (1, 2, 3))
+    pq_.write_table(e1, p1)
+    pq_.write_table(e2, p2)
+    pq_.write_table(e3, p3)
+    return read_parquet_evolved([p1, p2, p3]).sort("doc_id")

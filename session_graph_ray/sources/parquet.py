@@ -93,3 +93,78 @@ def write_parquet_partitioned(
         return []
     ds.write_parquet(path, partition_cols=[partition_col])
     return sorted(str(v) for v in ds.unique(partition_col))
+
+
+def read_parquet_evolved(
+    paths: list[str],
+    *,
+    columns: list[str] | None = None,
+) -> "rd.Dataset":
+    """Read parquet files whose schemas EVOLVED over time (columns added or
+    dropped between ingest epochs) as one dataset over the union schema —
+    missing columns come back null, column order is normalized, and
+    same-named fields must agree on type (a type conflict raises instead of
+    silently casting: schema drift is a data bug to surface, not paper
+    over).
+
+    Plan: one footer read per DISTINCT schema group (files are fingerprinted
+    by their footer schema and grouped, so a 10^5-file lake with 3 historic
+    layouts costs 10^5 cheap metadata reads on the driver — the planning
+    cost every engine pays — but only 3 read plans); each group reads
+    homogeneously via ``read_parquet_clean`` and pads/reorders per batch
+    (an O(columns) Arrow op, no data copy for present columns); groups
+    union into one streaming dataset."""
+    if not paths:
+        raise ValueError("no paths")
+    groups: dict[tuple, list[str]] = {}
+    schemas: dict[tuple, pa.Schema] = {}
+    for p in paths:
+        s = pq.read_schema(p)
+        s = pa.schema([f.remove_metadata() for f in s])
+        key = tuple((f.name, str(f.type)) for f in s)
+        groups.setdefault(key, []).append(p)
+        schemas[key] = s
+
+    # union schema: first-seen field order; same name must mean same type
+    union_fields: dict[str, pa.Field] = {}
+    for key in groups:
+        for f in schemas[key]:
+            prev = union_fields.get(f.name)
+            if prev is None:
+                union_fields[f.name] = f
+            elif prev.type != f.type:
+                raise TypeError(
+                    f"schema drift on column '{f.name}': "
+                    f"{prev.type} vs {f.type}")
+    out_names = [n for n in union_fields
+                 if columns is None or n in columns]
+    if columns is not None:
+        missing = set(columns) - set(out_names)
+        if missing:
+            raise KeyError(f"columns absent from every file: {missing}")
+        out_names = list(columns)
+    out_schema = pa.schema([union_fields[n] for n in out_names])
+
+    parts = []
+    for key, group_paths in groups.items():
+        present = {f.name for f in schemas[key]}
+        read_cols = [n for n in out_names if n in present]
+        # a group with NO requested columns still contributes rows: read
+        # its first column for the row count, pad everything
+        probe_cols = read_cols or [schemas[key].names[0]]
+        ds = read_parquet_clean(sorted(group_paths), columns=probe_cols)
+
+        def pad(t: pa.Table, _schema=out_schema) -> pa.Table:
+            cols = []
+            for f in _schema:
+                if f.name in t.column_names:
+                    cols.append(t.column(f.name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(t.num_rows, f.type))
+            return pa.table(dict(zip(_schema.names, cols)))
+
+        parts.append(ds.map_batches(pad, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -215,3 +215,42 @@ def test_custom_scorer_feature_registry():
         assert abs(out["score"][0] - 0.825) < 1e-9
     finally:
         unregister_scorer_feature("always_one")
+
+
+def test_read_parquet_evolved(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from session_graph_ray.sources.parquet import read_parquet_evolved
+
+    p1 = str(tmp_path / "e1.parquet")
+    p2 = str(tmp_path / "e2.parquet")
+    p3 = str(tmp_path / "e3.parquet")
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64()),
+                             "b": pa.array(["x", "y"])}), p1)
+    pq.write_table(pa.table({"a": pa.array([3], pa.int64()),
+                             "b": pa.array(["z"]),
+                             "c": pa.array([30], pa.int64())}), p2)
+    pq.write_table(pa.table({"a": pa.array([4], pa.int64()),
+                             "c": pa.array([40], pa.int64())}), p3)
+
+    df = (read_parquet_evolved([p1, p2, p3]).to_pandas()
+          .sort_values("a").reset_index(drop=True))
+    assert list(df.columns) == ["a", "b", "c"]
+    assert list(df.a) == [1, 2, 3, 4]
+    assert list(df.b)[:3] == ["x", "y", "z"] and df.b.isna().iloc[3]
+    assert df.c.isna().iloc[0] and df.c.isna().iloc[1]
+    assert list(df.c)[2:] == [30, 40]
+
+    # column selection incl. a group that has NONE of the requested cols
+    dfc = (read_parquet_evolved([p1, p3], columns=["c"]).to_pandas())
+    assert list(dfc.columns) == ["c"]
+    assert len(dfc) == 3 and dfc.c.isna().sum() == 2
+
+    # type drift raises instead of silently casting
+    p4 = str(tmp_path / "e4.parquet")
+    pq.write_table(pa.table({"a": pa.array([9.5], pa.float64())}), p4)
+    with pytest.raises(TypeError, match="schema drift"):
+        read_parquet_evolved([p1, p4])
