@@ -473,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": A.q_source_overlap,
         "events_cdc_snapshot": A.q_events_cdc_snapshot,
         "docs_evolved_union": A.q_docs_evolved_union,
+        "order_window_overlaps": A.q_order_window_overlaps,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1914,5 +1915,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id >= 150 THEN source END AS source
             FROM documents
             ORDER BY doc_id
+        """,
+        # interval x interval overlap join, counted per left window
+        "order_window_overlaps": """
+            WITH a AS (
+              SELECT o_orderkey AS a_id,
+                     TIMESTAMP '2024-01-01'
+                       + (o_orderkey % 28) * INTERVAL 1 DAY AS s
+              FROM orders WHERE o_orderkey % 100 = 0
+            ),
+            b AS (
+              SELECT o_orderkey AS b_id,
+                     TIMESTAMP '2024-01-01'
+                       + (o_orderkey % 35) * INTERVAL 1 DAY AS s
+              FROM orders
+            )
+            SELECT a.a_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+            FROM a JOIN b
+              ON GREATEST(a.s, b.s)
+                 < LEAST(a.s + INTERVAL 3 DAY, b.s + INTERVAL 2 DAY)
+            GROUP BY a.a_id
+            ORDER BY a.a_id
         """,
     }

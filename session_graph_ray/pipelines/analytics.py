@@ -3285,3 +3285,36 @@ def q_docs_evolved_union(sf_dir: str) -> "rd.Dataset":
     pq_.write_table(e2, p2)
     pq_.write_table(e3, p3)
     return read_parquet_evolved([p1, p2, p3]).sort("doc_id")
+
+
+def q_order_window_overlaps(sf_dir: str) -> "rd.Dataset":
+    """Interval x interval overlap join (ops/interval.interval_overlap_binned):
+    every 100th order's 3-day window against EVERY order's 2-day window
+    (different anchor modulus), counted per left window. Both interval
+    sides are Datasets — nothing broadcasts; pairs emit exactly once at
+    the intersection's first cell."""
+    from ..ops.interval import interval_overlap_binned
+
+    orders = _rp(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    epoch = np.int64(np.datetime64("2024-01-01", "us").view("i8"))
+    day_us = np.int64(86_400_000_000)
+
+    def win_a(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = k[k % 100 == 0]
+        start = epoch + (k % 28) * day_us
+        return pa.table({"a_id": pa.array(k), "start": pa.array(start),
+                         "end": pa.array(start + 3 * day_us)})
+
+    def win_b(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = epoch + (k % 35) * day_us
+        return pa.table({"b_id": pa.array(k), "start": pa.array(start),
+                         "end": pa.array(start + 2 * day_us)})
+
+    a = orders.map_batches(win_a, batch_format="pyarrow", batch_size=65536)
+    b = orders.map_batches(win_b, batch_format="pyarrow", batch_size=65536)
+    pairs = interval_overlap_binned(a, b, bin_us=int(day_us))
+    return (pairs.groupby("a_id")
+            .aggregate(Count(alias_name="n_overlaps"))
+            .sort("a_id"))

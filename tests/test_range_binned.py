@@ -72,3 +72,38 @@ def test_range_join_binned_matches_broadcast_randomized(ray_session):
     })
     out = range_join_broadcast(p, "ts", iv).to_pandas()
     assert sorted(zip(out["pid"], out["win_id"])) == _brute(pts, ivs)
+
+
+def test_interval_overlap_binned_vs_brute():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from session_graph_ray.ops.interval import interval_overlap_binned
+
+    rng = np.random.default_rng(13)
+    W = 100  # cell width; spans up to 5 cells
+
+    def mk(n, id0):
+        s = rng.integers(0, 2000, n)
+        ln = rng.integers(0, 500, n)  # includes empty intervals (ln=0)
+        return (np.arange(id0, id0 + n, dtype=np.int64), s, s + ln)
+
+    aid, as_, ae = mk(80, 0)
+    bid, bs, be = mk(120, 1000)
+    a = rd.from_arrow(pa.table({"a_id": pa.array(aid),
+                                "start": pa.array(as_.astype(np.int64)),
+                                "end": pa.array(ae.astype(np.int64))}))
+    b = rd.from_arrow(pa.table({"b_id": pa.array(bid),
+                                "start": pa.array(bs.astype(np.int64)),
+                                "end": pa.array(be.astype(np.int64))}))
+    got = interval_overlap_binned(a.repartition(4), b.repartition(5),
+                                  bin_us=W).to_pandas()
+    # exactly-once: no duplicate pairs even for multi-cell intersections
+    assert not got.duplicated(["a_id", "b_id"]).any()
+    gset = set(zip(got.a_id, got.b_id))
+    want = {(int(i), int(j))
+            for i, s1, e1 in zip(aid, as_, ae) if s1 < e1
+            for j, s2, e2 in zip(bid, bs, be) if s2 < e2
+            if max(s1, s2) < min(e1, e2)}
+    assert gset == want and len(want) > 100
