@@ -474,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cdc_snapshot": A.q_events_cdc_snapshot,
         "docs_evolved_union": A.q_docs_evolved_union,
         "order_window_overlaps": A.q_order_window_overlaps,
+        "docs_weighted_sample": A.q_docs_weighted_sample,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1936,5 +1937,20 @@ def oracle_sql() -> dict[str, str]:
                  < LEAST(a.s + INTERVAL 3 DAY, b.s + INTERVAL 2 DAY)
             GROUP BY a.a_id
             ORDER BY a.a_id
+        """,
+        # Efraimidis-Spirakis weighted draw, hash-derived randomness:
+        # identical splitmix64 chain + identical u^(1/w) double expression
+        "docs_weighted_sample": f"""
+            WITH {_sm64_chain("lang, n_chars")},
+            r AS (
+              SELECT lang, doc_id,
+                     POWER(CAST(h AS DOUBLE) / 18446744073709551616.0,
+                           1.0 / CAST(n_chars AS DOUBLE)) AS rk
+              FROM hashed
+            )
+            SELECT lang, doc_id FROM r
+            QUALIFY row_number() OVER (PARTITION BY lang
+                    ORDER BY rk DESC, doc_id ASC) <= 5
+            ORDER BY lang, doc_id
         """,
     }

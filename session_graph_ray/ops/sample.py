@@ -181,3 +181,58 @@ def mixture_sample(
         return out.append_column("epoch", pa.array(epoch))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def weighted_stratified_sample(
+    ds: "ray.data.Dataset",
+    stratum: str,
+    key: str,
+    weight: str,
+    k: int,
+    seed: int = 0xA5A5,
+) -> "ray.data.Dataset":
+    """Deterministic weighted sampling WITHOUT replacement, k per stratum
+    (Efraimidis-Spirakis 2006): each row draws u = splitmix64(key ^ seed)
+    / 2^64 and ranks by u^(1/w) — the top-k per stratum is distributed as
+    weight-proportional sampling without replacement, yet membership is a
+    pure function of (key, weight, seed): re-sharding, re-running, or
+    growing the cluster cannot change the sample. The hash chain and the
+    IEEE-double rank expression both replay exactly in SQL, so the draw is
+    oracle-checkable (the repo's float-expression-parity contract).
+
+    Per-batch combiner prunes to each stratum's local top-k before the
+    one shuffle (candidates per batch <= strata x k); the per-stratum
+    reduce re-ranks exactly. Ties (same rank key) break by key asc."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        u = splitmix64(kv.astype(np.uint64) ^ np.uint64(seed)).astype(
+            np.float64) / 18446744073709551616.0
+        w = t.column(weight).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        rank = u ** (1.0 / np.maximum(w, 1e-300))
+        df = pd.DataFrame({
+            "__stratum": t.column(stratum).to_numpy(zero_copy_only=False),
+            key: kv, "__rank": rank,
+        })
+        top = (df.sort_values(["__rank", key], ascending=[False, True])
+               .groupby("__stratum", sort=False).head(k))
+        return pa.table({
+            stratum: pa.array(top["__stratum"].to_numpy()),
+            key: pa.array(top[key].to_numpy()),
+            "__rank": pa.array(top["__rank"].to_numpy(), pa.float64()),
+        })
+
+    def final(g: pa.Table) -> pa.Table:
+        r = g.column("__rank").to_numpy(zero_copy_only=False)
+        kv = g.column(key).to_numpy(zero_copy_only=False)
+        order = np.lexsort((kv, -r))[:k]
+        out = g.take(pa.array(order))
+        return out.select([stratum, key])
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+            .groupby(stratum)
+            .map_groups(final, batch_format="pyarrow"))

@@ -3318,3 +3318,18 @@ def q_order_window_overlaps(sf_dir: str) -> "rd.Dataset":
     return (pairs.groupby("a_id")
             .aggregate(Count(alias_name="n_overlaps"))
             .sort("a_id"))
+
+
+def q_docs_weighted_sample(sf_dir: str) -> "rd.Dataset":
+    """Weighted sampling without replacement, 5 docs per language weighted
+    by n_chars (ops/sample.weighted_stratified_sample — Efraimidis-Spirakis
+    with hash-derived randomness). The oracle replays the splitmix64 chain
+    and the identical u^(1/w) IEEE-double rank in SQL, so even this
+    'random' draw is value-hash-checked."""
+    from ..ops.sample import weighted_stratified_sample
+
+    docs = _rp(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "lang", "n_chars"])
+    out = weighted_stratified_sample(docs, stratum="lang", key="doc_id",
+                                     weight="n_chars", k=5)
+    return out.sort(["lang", "doc_id"])

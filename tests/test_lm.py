@@ -104,3 +104,41 @@ def test_mixture_sample_semantics_and_partition_independence():
     assert 0.3 < (n_a == 3).mean() < 0.7  # ~half the a-rows get the 3rd copy
     d_kept = (a.source == "d").sum()
     assert 10 < d_kept < 40               # ~25% of 100 d-rows
+
+
+def test_weighted_stratified_sample():
+    from session_graph_ray.ops.sample import weighted_stratified_sample
+    from session_graph_ray.functions.sketch import splitmix64
+
+    n = 400
+    w = np.where(np.arange(n) < 20, 500.0, 1.0)  # 20 heavy rows
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(["x"] * n),
+        "n_chars": pa.array(w, pa.float64()),
+    })
+
+    def brute(seed):
+        u = splitmix64(np.arange(n).astype(np.uint64)
+                       ^ np.uint64(seed)).astype(np.float64) / 2.0**64
+        rank = u ** (1.0 / w)
+        order = np.lexsort((np.arange(n), -rank))[:10]
+        return set(order.tolist())
+
+    hits = 0
+    for seed in [1, 2, 3, 4, 5]:
+        got = (weighted_stratified_sample(
+            rd.from_arrow(t).repartition(4), "lang", "doc_id", "n_chars",
+            k=10, seed=seed).to_pandas())
+        assert set(got.doc_id) == brute(seed), seed
+        hits += (got.doc_id < 20).sum()
+    # 20 rows carry 500x weight -> they dominate every draw
+    assert hits >= 40  # of 50 sampled rows across 5 seeds
+
+    a = (weighted_stratified_sample(rd.from_arrow(t).repartition(1),
+                                    "lang", "doc_id", "n_chars", k=10)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (weighted_stratified_sample(rd.from_arrow(t).repartition(9),
+                                    "lang", "doc_id", "n_chars", k=10)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
