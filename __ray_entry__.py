@@ -475,6 +475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_evolved_union": A.q_docs_evolved_union,
         "order_window_overlaps": A.q_order_window_overlaps,
         "docs_weighted_sample": A.q_docs_weighted_sample,
+        "product_profit": A.q_product_profit,
+        "parts_supplier_counts": A.q_parts_supplier_counts,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1952,5 +1954,40 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY lang
                     ORDER BY rk DESC, doc_id ASC) <= 5
             ORDER BY lang, doc_id
+        """,
+        # TPC-H Q9 shape: profit by (nation, year), cost proxy
+        # p_retailprice * 0.8 (no partsupp in this schema)
+        "product_profit": f"""
+            SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM({_CENTS.format(
+                       x='l.l_extendedprice*(1.0-l.l_discount)')}
+                        - {_CENTS.format(
+                       x='p.p_retailprice*0.8*l.l_quantity')})
+                        AS BIGINT) AS profit_c
+            FROM lineitem l
+            JOIN part p     ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY n.n_name, year(o.o_orderdate)
+            ORDER BY n.n_name, o_year
+        """,
+        # TPC-H Q16 shape: distinct suppliers per (brand, type, size),
+        # part-supplier relation = DISTINCT lineitem pairs, negative-balance
+        # suppliers excluded (the NOT IN)
+        "parts_supplier_counts": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            ok AS (SELECT ps.* FROM ps
+                   WHERE ps.l_suppkey NOT IN
+                         (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0))
+            SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT ok.l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM ok JOIN part p ON p.p_partkey = ok.l_partkey
+            GROUP BY p.p_brand, p.p_type, p.p_size
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+            LIMIT 50
         """,
     }

@@ -3333,3 +3333,161 @@ def q_docs_weighted_sample(sf_dir: str) -> "rd.Dataset":
     out = weighted_stratified_sample(docs, stratum="lang", key="doc_id",
                                      weight="n_chars", k=5)
     return out.sort(["lang", "doc_id"])
+
+
+def q_product_profit(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q9 shape (product-type profit by nation and year): for parts
+    whose name contains 'red', profit = revenue - cost x quantity per
+    (supplier nation, order year). The schema has no partsupp, so cost is
+    the p_retailprice x 0.8 proxy — the JOIN TOPOLOGY (lineitem x part x
+    supplier x orders x nation, 5 tables) is Q9's. Part attrs and the
+    supplier->nation map broadcast (dims); the one fact-fact exchange is
+    lineitem x orders; per-batch (nation, year) partials collapse before
+    the tiny groupby. Profit rows can be negative — int64 cents
+    throughout."""
+    part = _rp(f"{sf_dir}/part.parquet",
+               columns=["p_partkey", "p_name", "p_retailprice"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        m = pc.match_substring(t["p_name"], "red")
+        t = t.filter(m)
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "p_retailprice": t["p_retailprice"]})
+
+    pk = part.map_batches(p_prep, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+
+    nat = _rp(f"{sf_dir}/nation.parquet",
+              columns=["n_nationkey", "n_name"]).to_pandas()
+    sup = _rp(f"{sf_dir}/supplier.parquet",
+              columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")[
+        ["s_suppkey", "n_name"]]
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                      "l_extendedprice", "l_discount"])
+    li_p = broadcast_join(li, pk, left_on="l_partkey",
+                          right_on="p_partkey")
+    li_ps = broadcast_join(li_p, sup, left_on="l_suppkey",
+                           right_on="s_suppkey")
+
+    def amount(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cost = pc.multiply(pc.multiply(t["p_retailprice"],
+                                       pa.scalar(0.8)), t["l_quantity"])
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "n_name": t["n_name"],
+            "amount_c": pc.subtract(_cents(rev), _cents(cost)),
+        })
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pc.year(t["o_orderdate"]).cast(
+                             pa.int64())})
+
+    joined = hash_join(
+        li_ps.map_batches(amount, batch_format="pyarrow",
+                          batch_size=65536),
+        orders.map_batches(o_prep, batch_format="pyarrow",
+                           batch_size=65536),
+        on="l_orderkey", right_on="o_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "n_name": t["n_name"].to_numpy(zero_copy_only=False),
+            "o_year": t["o_year"].to_numpy(zero_copy_only=False),
+            "profit_c": t["amount_c"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["n_name", "o_year"], sort=False, as_index=False)[
+            "profit_c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby(["n_name", "o_year"])
+            .aggregate(Sum("profit_c", alias_name="profit_c"))
+            .sort(["n_name", "o_year"]))
+
+
+def q_parts_supplier_counts(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q16 shape (distinct-supplier counts per part attribute group
+    with a NOT-IN supplier exclusion): the part-supplier relation is the
+    DISTINCT (l_partkey, l_suppkey) of lineitem (no partsupp in schema),
+    negative-balance suppliers are excluded (the 'complaints' NOT IN),
+    and the count per (brand, type, size) is a true distinct-count. One
+    bucketed exchange keyed by the group hash — each kernel sees all of
+    its groups' rows, dedups (group, supplier) locally and counts."""
+    from ..functions.hashing import hash64_np
+
+    sup = _rp(f"{sf_dir}/supplier.parquet",
+              columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = set(sup[sup.s_acctbal < 0].s_suppkey)
+    part = _rp(f"{sf_dir}/part.parquet",
+               columns=["p_partkey", "p_brand", "p_type", "p_size"]
+               ).to_pandas()
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_partkey", "l_suppkey"])
+    B = 64
+
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(p * (np.int64(1) << 31) + s)
+        return pa.table({"pk": pa.array(key),
+                         "__bkt": pa.array((key % B).astype(np.int32))})
+
+    def pair_combine(g: pa.Table) -> pa.Table:
+        key = np.unique(g["pk"].to_numpy(zero_copy_only=False))
+        p = key >> 31
+        s = key & ((np.int64(1) << 31) - 1)
+        keep = ~np.isin(s, list(bad))
+        return pa.table({"l_partkey": pa.array(p[keep]),
+                         "l_suppkey": pa.array(s[keep])})
+
+    pairs = (li.map_batches(pair_distinct, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("__bkt").map_groups(pair_combine,
+                                          batch_format="pyarrow"))
+    merged = broadcast_join(pairs, part, left_on="l_partkey",
+                            right_on="p_partkey")
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            t["p_brand"], t["p_type"],
+            pc.cast(t["p_size"], pa.string()), "\x1f")
+        h = hash64_np(keys.to_pylist())
+        return pa.table({
+            "p_brand": t["p_brand"], "p_type": t["p_type"],
+            "p_size": t["p_size"].cast(pa.int64()),
+            "l_suppkey": t["l_suppkey"],
+            "__bkt": pa.array((h % np.uint64(B)).astype(np.int32)),
+        })
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas().drop_duplicates(
+            ["p_brand", "p_type", "p_size", "l_suppkey"])
+        out = (df.groupby(["p_brand", "p_type", "p_size"], sort=False,
+                          as_index=False)
+               .l_suppkey.nunique()
+               .rename(columns={"l_suppkey": "supplier_cnt"}))
+        out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (merged.map_batches(tag, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("__bkt").map_groups(count_distinct,
+                                         batch_format="pyarrow")
+            .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                  descending=[True, False, False, False])
+            .limit(50))
