@@ -370,6 +370,28 @@ def _q_media_phash_dups(sf_dir: str):
         ["media_a", "media_b"])
 
 
+def _q_media_resized(sf_dir: str):
+    """Image resize stage (ops/multimodal.ImageResizer): nearest-neighbor
+    16x16 thumbnails of the synthetic PPM images, re-encoded as PPM, with
+    row-level quarantine. Rows-only; roundtrip shape, quarantine and the
+    cross-resolution dedup composition are pinned in tests/test_phash.py."""
+    import pyarrow as _pa
+
+    import ray.data as rd
+
+    from session_graph_ray.ops.multimodal import (
+        resize_images,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(n=96)
+    imgs = media.filter(
+        __import__("pyarrow").compute.equal(media["kind"], "image"))
+    out = resize_images(rd.from_arrow(imgs.select(["media_id", "payload"])))
+    return out.select_columns(
+        ["media_id", "width", "height"]).sort("media_id")
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -508,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": A.q_knn_graph,
         "media_features": _q_media_features,
         "media_phash_dups": _q_media_phash_dups,
+        "media_resized": _q_media_resized,
     }
 
 

@@ -254,3 +254,61 @@ def extract_media_features(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImageResizer:
+    """Actor-pool stage: nearest-neighbor resize of PPM image payloads to a
+    fixed (w, h), re-encoded as PPM — the thumbnail/normalize step every
+    vision-data pipeline runs before feature extraction or dedup. Pure
+    numpy index gather (no per-pixel Python); non-image or malformed rows
+    quarantine with the error recorded, payload null."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.w, self.h = out_w, out_h
+
+    def _resize(self, payload: bytes) -> bytes:
+        from .phash import _ppm_pixels
+
+        px = _ppm_pixels(payload)
+        h, w = px.shape[:2]
+        ys = (np.arange(self.h) * h) // self.h
+        xs = (np.arange(self.w) * w) // self.w
+        out = px[ys][:, xs]  # (out_h, out_w, 3) nearest-neighbor gather
+        return (f"P6\n{self.w} {self.h}\n255\n".encode()
+                + out.astype(np.uint8).tobytes())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_p, errors = [], []
+        for p in payloads:
+            try:
+                out_p.append(self._resize(p))
+                errors.append(None)
+            except Exception as e:
+                out_p.append(None)
+                errors.append(f"{type(e).__name__}: {e}")
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(out_p, pa.large_binary()),
+            "width": pa.array(
+                [self.w if e is None else 0 for e in errors], pa.int32()),
+            "height": pa.array(
+                [self.h if e is None else 0 for e in errors], pa.int32()),
+            "decode_error": pa.array(errors, pa.string()),
+        })
+
+
+def resize_images(
+    ds: "ray.data.Dataset",
+    out_w: int = 16,
+    out_h: int = 16,
+    concurrency: int = 2,
+    batch_size: int = 128,
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_args=(out_w, out_h),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )

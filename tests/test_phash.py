@@ -100,3 +100,48 @@ def test_truncation_is_counted():
     assert len(metrics) > 0 and metrics.dist.sum() > 0
     # kept pairs + counted-dropped pairs account for every pair per band
     assert len(kept) < 20 * 19 // 2
+
+
+def test_resize_images_roundtrip_and_quarantine():
+    from session_graph_ray.ops.multimodal import resize_images
+    from session_graph_ray.ops.phash import _ppm_pixels
+
+    t = pa.table({
+        "media_id": pa.array(["a", "b", "bad"], pa.string()),
+        "payload": pa.array([_smooth_ppm(1, w=40, h=24),
+                             _smooth_ppm(2, w=9, h=31),
+                             b"NOTPPM"], pa.large_binary()),
+    })
+    out = (resize_images(rd.from_arrow(t), out_w=16, out_h=12)
+           .to_pandas().set_index("media_id"))
+    for mid in ["a", "b"]:
+        assert out.loc[mid, "decode_error"] is None
+        px = _ppm_pixels(out.loc[mid, "payload"])
+        assert px.shape == (12, 16, 3)
+    assert out.loc["bad", "payload"] is None
+    assert "ValueError" in out.loc["bad", "decode_error"]
+    # nearest-neighbor: resizing a constant-gradient image preserves
+    # monotonicity along x
+    px = _ppm_pixels(out.loc["a", "payload"]).astype(int).mean(axis=2)
+    assert (np.diff(px.mean(axis=0)) >= 0).all()
+
+
+def test_resize_then_phash_composition():
+    from session_graph_ray.ops.multimodal import resize_images
+    from session_graph_ray.ops.phash import media_phashes, phash_dup_pairs
+
+    # resize normalizes scale: the same scene at 2x resolution becomes a
+    # near-dup after resize
+    t = pa.table({
+        "media_id": pa.array(["small", "large", "other"], pa.string()),
+        "payload": pa.array([_smooth_ppm(3, w=24, h=24),
+                             _smooth_ppm(3, w=48, h=48),
+                             _smooth_ppm(99, w=24, h=24)],
+                            pa.large_binary()),
+    })
+    resized = resize_images(rd.from_arrow(t), out_w=16, out_h=16)
+    hashes = media_phashes(resized.select_columns(
+        ["media_id", "payload"])).materialize()
+    pairs = phash_dup_pairs(hashes, max_dist=3).to_pandas()
+    got = set(zip(pairs.media_a, pairs.media_b))
+    assert ("large", "small") in got
