@@ -370,6 +370,21 @@ def _q_media_phash_dups(sf_dir: str):
         ["media_a", "media_b"])
 
 
+def _q_embedding_pca(sf_dir: str):
+    """Distributed PCA fit + whitened projection over the embeddings table
+    (ops/linalg.py): one constant-size-partial pass fits, one broadcast
+    matmul projects. Rows-only (float eigendecomposition); subspace parity
+    with single-process numpy is pinned in tests/test_linalg.py."""
+    from session_graph_ray.sources.parquet import read_parquet_clean as _rp
+
+    from session_graph_ray.ops.linalg import embedding_pca, pca_project
+
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"])
+    model = embedding_pca(emb, n_components=8)
+    return pca_project(emb, model, whiten=True).sort("vec_id")
+
+
 def _q_media_resized(sf_dir: str):
     """Image resize stage (ops/multimodal.ImageResizer): nearest-neighbor
     16x16 thumbnails of the synthetic PPM images, re-encoded as PPM, with
@@ -531,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_phash_dups": _q_media_phash_dups,
         "media_resized": _q_media_resized,
+        "embedding_pca_project": _q_embedding_pca,
     }
 
 
