@@ -514,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": A.q_docs_weighted_sample,
         "product_profit": A.q_product_profit,
         "parts_supplier_counts": A.q_parts_supplier_counts,
+        "events_next_within_2h": A.q_events_next_within_2h,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -2028,5 +2029,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.p_brand, p.p_type, p.p_size
             ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
             LIMIT 50
+        """,
+        # forward as-of with tolerance, strict, event-id tie-break
+        "events_next_within_2h": """
+            WITH cand AS (
+              SELECT e.event_id, e.user_id, e.ts,
+                     n.event_id AS next_event_id,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY n.ts, n.event_id) AS rn
+              FROM events e
+              JOIN events n
+                ON n.user_id = e.user_id
+               AND n.ts > e.ts
+               AND n.ts <= e.ts + INTERVAL 2 HOUR
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   CAST(c.next_event_id AS BIGINT) AS next_event_id
+            FROM events e
+            LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
+            ORDER BY e.event_id
         """,
     }

@@ -43,8 +43,22 @@ def asof_join_backward(
     left_schema: pa.Schema,
     right_schema: pa.Schema,
     num_buckets: int | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
+    right_tiebreak: str | None = None,
+    allow_exact_matches: bool = True,
 ) -> "ray.data.Dataset":
-    """Left as-of-backward join; unmatched left rows keep nulls.
+    """Left as-of join; unmatched left rows keep nulls.
+
+    ``direction`` is pandas merge_asof's: "backward" (latest right row at
+    or before the left ts — the default and the classic ASOF), "forward"
+    (earliest at or after), or "nearest". ``tolerance`` bounds the match
+    distance in the ts column's native units (microseconds for
+    timestamps). ``right_tiebreak`` makes equal-(key, ts) right rows
+    deterministic: the right side sorts by (ts, tiebreak) — still
+    ts-sorted as merge_asof requires, but duplicate timestamps resolve by
+    the tiebreak instead of arrival order (which would vary with
+    partitioning).
 
     ``right_out`` maps right-side columns to their output names (the right
     key/ts columns are dropped unless listed). Keys must be integers and
@@ -112,14 +126,23 @@ def asof_join_backward(
             for c, o in right_out.items():
                 out[o] = pd.Series([pd.NA] * len(out), dtype="object")
         else:
+            rsort = ([right_ts, right_tiebreak] if right_tiebreak
+                     else [right_ts])
+            tol = None
+            if tolerance is not None:
+                tol = (pd.Timedelta(microseconds=tolerance)
+                       if str(lg[left_ts].dtype).startswith("datetime")
+                       else tolerance)
             out = pd.merge_asof(
                 lg.sort_values(left_ts, kind="stable"),
-                rg.sort_values(right_ts, kind="stable"),
+                rg.sort_values(rsort, kind="stable"),
                 left_on=left_ts,
                 right_on=right_ts,
                 left_by=left_key,
                 right_by=right_key,
-                direction="backward",
+                direction=direction,
+                tolerance=tol,
+                allow_exact_matches=allow_exact_matches,
                 suffixes=("", "__r"),
             ).rename(columns=dict(right_out))
         return pd_to_arrow(out[out_names]).cast(out_schema)

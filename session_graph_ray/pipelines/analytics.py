@@ -3491,3 +3491,39 @@ def q_parts_supplier_counts(sf_dir: str) -> "rd.Dataset":
             .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
                   descending=[True, False, False, False])
             .limit(50))
+
+
+def q_events_next_within_2h(sf_dir: str) -> "rd.Dataset":
+    """As-of FORWARD join with tolerance and strict inequality
+    (ops/asof.asof_join_backward generalized): each event annotated with
+    the same user's NEXT event id strictly after it and within 2 hours
+    (null when none) — the gap-feature / dwell-time primitive.
+    Equal-timestamp right rows resolve by event id (right_tiebreak), so
+    the match is deterministic under any partitioning."""
+    from ..ops.asof import asof_join_backward
+
+    ev = _rp(f"{sf_dir}/events.parquet",
+             columns=["event_id", "user_id", "ts"])
+
+    def rprep(t: pa.Table) -> pa.Table:
+        return pa.table({"r_user": t["user_id"].cast(pa.int64()),
+                         "r_ts": t["ts"],
+                         "r_event_id": t["event_id"].cast(pa.int64())})
+
+    right = ev.map_batches(rprep, batch_format="pyarrow", batch_size=65536)
+    ts_us = pa.timestamp("us")
+    out = asof_join_backward(
+        ev, right,
+        left_key="user_id", right_key="r_user",
+        left_ts="ts", right_ts="r_ts",
+        right_out={"r_event_id": "next_event_id"},
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64()), ("ts", ts_us)]),
+        right_schema=pa.schema([("r_user", pa.int64()), ("r_ts", ts_us),
+                                ("r_event_id", pa.int64())]),
+        direction="forward",
+        tolerance=2 * 3600 * 1_000_000,
+        right_tiebreak="r_event_id",
+        allow_exact_matches=False,
+    )
+    return out.sort("event_id")
