@@ -515,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": A.q_product_profit,
         "parts_supplier_counts": A.q_parts_supplier_counts,
         "events_next_within_2h": A.q_events_next_within_2h,
+        "contrastive_negatives": A.q_contrastive_negatives,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -567,13 +568,14 @@ def _sm64_mulmod(b: int) -> str:
     )
 
 
-def _sm64_chain(carry: str, key: str = "doc_id", seed: int = 0xA5A5) -> str:
+def _sm64_chain(carry: str, key: str = "doc_id", seed: int = 0xA5A5,
+                src: str = "documents") -> str:
     """CTE chain computing ``h = splitmix64(key ^ seed)`` bit-exactly in
     DuckDB (validated against functions/sketch.splitmix64 over edge keys
     incl. 2^62 and 2^63-1), carrying ``carry`` columns through. The samplers
     in ops/sample.py are key-pure exactly so this mirror exists."""
     return f"""
-            inp AS (SELECT {key}, {carry} FROM documents),
+            inp AS (SELECT {key}, {carry} FROM {src}),
             x0 AS (SELECT {key}, {carry},
                           xor(CAST({key} AS UBIGINT), CAST({seed} AS UBIGINT))
                           AS x FROM inp),
@@ -2049,5 +2051,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
             ORDER BY e.event_id
+        """,
+        # deterministic negative sampling: splitmix64 over (anchor*k+slot)
+        "contrastive_negatives": f"""
+            WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+            base AS (SELECT vec_id, t.j,
+                            CAST(vec_id * 4 + t.j AS BIGINT) AS pk
+                     FROM embeddings,
+                          UNNEST(generate_series(0, 3)) AS t(j)),
+            {_sm64_chain("vec_id, j", key="pk", src="base")},
+            neg0 AS (SELECT vec_id, j,
+                            CAST(h % (SELECT n FROM n) AS BIGINT) AS g
+                     FROM hashed)
+            SELECT vec_id, CAST(j AS BIGINT) AS slot,
+                   CASE WHEN g = vec_id
+                        THEN (g + 1) % (SELECT n FROM n)
+                        ELSE g END AS neg_id
+            FROM neg0
+            ORDER BY vec_id, slot
         """,
     }

@@ -236,3 +236,33 @@ def weighted_stratified_sample(
                            batch_size=8192)
             .groupby(stratum)
             .map_groups(final, batch_format="pyarrow"))
+
+
+def contrastive_negatives(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    k: int,
+    n_total: int,
+    seed: int = 0xA5A5,
+) -> "ray.data.Dataset":
+    """k deterministic negative ids per anchor row — the contrastive /
+    triplet-loss pair generator. Negative j for anchor a is
+    ``splitmix64((a*k + j) ^ seed) % n_total`` (bumped by one on a self
+    collision), so the draw is a pure function of (anchor, slot, seed):
+    reproducible across runs, shardings and cluster sizes, uniform over a
+    DENSE 0..n_total-1 id space (the caller's contract — stated, not
+    assumed), and shuffle-free: one map_batches, k-fold repeat + one hash
+    per emitted row. Output: (id_col, slot, neg_id)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        a = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = np.repeat(a, k)
+        slot = np.tile(np.arange(k, dtype=np.int64), len(a))
+        h = splitmix64((rep * k + slot).astype(np.uint64)
+                       ^ np.uint64(seed))
+        neg = (h % np.uint64(n_total)).astype(np.int64)
+        neg = np.where(neg == rep, (neg + 1) % n_total, neg)
+        return pa.table({id_col: pa.array(rep), "slot": pa.array(slot),
+                         "neg_id": pa.array(neg)})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)

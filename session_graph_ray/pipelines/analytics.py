@@ -3527,3 +3527,17 @@ def q_events_next_within_2h(sf_dir: str) -> "rd.Dataset":
         allow_exact_matches=False,
     )
     return out.sort("event_id")
+
+
+def q_contrastive_negatives(sf_dir: str) -> "rd.Dataset":
+    """Deterministic negative sampling for contrastive training
+    (ops/sample.contrastive_negatives): 4 hash-drawn negatives per
+    embedding anchor over the dense vec_id space. Even this 'random'
+    generator is value-hash-checked — the oracle replays the splitmix64
+    chain over (anchor*k + slot)."""
+    from ..ops.sample import contrastive_negatives
+
+    emb = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    n = emb.count()  # parquet metadata count
+    return contrastive_negatives(emb, "vec_id", k=4, n_total=n).sort(
+        ["vec_id", "slot"])

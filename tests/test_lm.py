@@ -142,3 +142,24 @@ def test_weighted_stratified_sample():
                                     "lang", "doc_id", "n_chars", k=10)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_contrastive_negatives_contract():
+    from session_graph_ray.ops.sample import contrastive_negatives
+
+    t = pa.table({"vec_id": pa.array(range(200), pa.int64())})
+    a = (contrastive_negatives(rd.from_arrow(t).repartition(1),
+                               "vec_id", k=3, n_total=200)
+         .to_pandas().sort_values(["vec_id", "slot"])
+         .reset_index(drop=True))
+    b = (contrastive_negatives(rd.from_arrow(t).repartition(7),
+                               "vec_id", k=3, n_total=200)
+         .to_pandas().sort_values(["vec_id", "slot"])
+         .reset_index(drop=True))
+    assert a.equals(b)
+    assert len(a) == 600
+    assert (a.neg_id != a.vec_id).all()          # never self
+    assert a.neg_id.between(0, 199).all()
+    # roughly uniform: every fifth of the id space gets drawn
+    hist = np.histogram(a.neg_id, bins=5, range=(0, 200))[0]
+    assert hist.min() > 60
