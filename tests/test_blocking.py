@@ -146,3 +146,21 @@ def test_hot_block_chunking_end_to_end():
     assert 0 < len(stem_pairs) < n * (n - 1) / 2
     assert metrics["hot_blocks"] >= 1
     assert metrics["dropped_cross_chunk_pairs"] > 0
+
+
+def test_blocking_metrics(tiny_corpus_dir):
+    from session_graph_ray.eval import blocking_metrics, pairwise_f1
+    from session_graph_ray.pipelines.er import run_er_pipeline
+
+    res = run_er_pipeline(f"{tiny_corpus_dir}/corpus")
+    n = res.assignments.count()
+    m = blocking_metrics(
+        res.pairs.select_columns(res.pairs.schema().names[:2]), n,
+        f"{tiny_corpus_dir}/labeled_pairs.parquet")
+    assert 0 < m["n_candidates"] < n * (n - 1) // 2
+    assert m["reduction_ratio"] > 0.95       # blocking kills the quadratic
+    assert m["pair_completeness"] >= 0.8     # literal (star caveat in doc)
+    # transitive recall through clustering is still perfect
+    f1 = pairwise_f1(res.assignments,
+                     f"{tiny_corpus_dir}/labeled_pairs.parquet")
+    assert f1["recall"] == 1.0
