@@ -516,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_supplier_counts": A.q_parts_supplier_counts,
         "events_next_within_2h": A.q_events_next_within_2h,
         "contrastive_negatives": A.q_contrastive_negatives,
+        "event_value_outliers": A.q_event_value_outliers,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -2069,5 +2070,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE g END AS neg_id
             FROM neg0
             ORDER BY vec_id, slot
+        """,
+        # robust median/MAD outlier stats, exact discrete rank picks
+        "event_value_outliers": f"""
+            WITH v AS (SELECT event_type,
+                              {_CENTS.format(x='value')} AS vc FROM events),
+            med AS (
+              SELECT event_type, vc AS median FROM (
+                SELECT event_type, vc,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY vc) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM v)
+              WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+            ),
+            d AS (SELECT v.event_type, abs(v.vc - m.median) AS dev
+                  FROM v JOIN med m USING (event_type)),
+            mad AS (
+              SELECT event_type, dev AS mad FROM (
+                SELECT event_type, dev,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dev) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM d)
+              WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+            )
+            SELECT v.event_type, m.median, a.mad,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN abs(v.vc - m.median) > 5 * a.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_outliers
+            FROM v
+            JOIN med m USING (event_type)
+            JOIN mad a USING (event_type)
+            GROUP BY v.event_type, m.median, a.mad
+            ORDER BY v.event_type
         """,
     }

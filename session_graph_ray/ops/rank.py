@@ -290,3 +290,80 @@ def partitioned_ntile(
         return t.append_column(out_col, pa.array(tile))
 
     return sel.map_batches(assign, batch_format="pyarrow")
+
+
+def grouped_mad_outliers(
+    ds: "ray.data.Dataset",
+    key: str,
+    value: str,
+    k_mad: int = 5,
+) -> "ray.data.Dataset":
+    """Robust per-group outlier stats via median/MAD (the data-cleaning
+    filter that survives the heavy tails a mean/stddev gate drowns in):
+    per key, the exact discrete median (rank ceil(n/2)), the MAD
+    (discrete median of |v - median|), and the count of rows deviating
+    more than ``k_mad`` x MAD. Integer-exact end to end — both medians
+    come from :func:`grouped_quantile_disc`'s compressed-CDF rank pick,
+    so the oracle reproduces them with a row_number selection.
+
+    Three passes over the value column (median, MAD, flag) with
+    constant-size key tables broadcast between them — at 100 TB each
+    pass is one pruned scan; nothing but (key, distinct-value) rows ever
+    shuffles. Output: (key, median, mad, n_rows, n_outliers)."""
+    import ray
+
+    med_df = grouped_quantile_disc(ds, key, value, {"med": 0.5}).to_pandas()
+    med_of = dict(zip(med_df[key], med_df["med"]))
+    med_ref = ray.put(med_of)
+
+    def dev(t: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(value).to_numpy(zero_copy_only=False)
+        meds = np.array([m[x] for x in np.unique(kv)], dtype=np.int64)
+        _, inv = np.unique(kv, return_inverse=True)
+        return pa.table({key: t.column(key),
+                         "dev": pa.array(np.abs(v - meds[inv]))})
+
+    devs = ds.select_columns([key, value]).map_batches(
+        dev, batch_format="pyarrow", batch_size=65536)
+    mad_df = grouped_quantile_disc(devs, key, "dev",
+                                   {"mad": 0.5}).to_pandas()
+    mad_of = dict(zip(mad_df[key], mad_df["mad"]))
+    both_ref = ray.put((med_of, mad_of))
+
+    def flag(t: pa.Table) -> pa.Table:
+        m, d = ray.get(both_ref)
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(value).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(kv, return_inverse=True)
+        meds = np.array([m[x] for x in uk], dtype=np.int64)
+        mads = np.array([d[x] for x in uk], dtype=np.int64)
+        out = np.abs(v - meds[inv]) > k_mad * mads[inv]
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        no = np.bincount(inv, weights=out, minlength=len(uk)).astype(
+            np.int64)
+        return pa.table({key: pa.array(uk), "n_rows": pa.array(n),
+                         "n_outliers": pa.array(no)})
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.select_columns([key, value])
+           .map_batches(flag, batch_format="pyarrow", batch_size=65536)
+           .groupby(key)
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("n_outliers", alias_name="n_outliers")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: t.column(key),
+            "median": pa.array(
+                np.array([med_of[x] for x in kv], dtype=np.int64)),
+            "mad": pa.array(
+                np.array([mad_of[x] for x in kv], dtype=np.int64)),
+            "n_rows": t.column("n_rows"),
+            "n_outliers": t.column("n_outliers"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(key)

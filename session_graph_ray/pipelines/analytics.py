@@ -3541,3 +3541,20 @@ def q_contrastive_negatives(sf_dir: str) -> "rd.Dataset":
     n = emb.count()  # parquet metadata count
     return contrastive_negatives(emb, "vec_id", k=4, n_total=n).sort(
         ["vec_id", "slot"])
+
+
+def q_event_value_outliers(sf_dir: str) -> "rd.Dataset":
+    """Robust per-type outlier stats (ops/rank.grouped_mad_outliers):
+    exact discrete median and MAD of event value cents per event type,
+    plus the count of rows beyond 5 MADs — integer-exact, oracle-mirrored
+    with row_number rank selections."""
+    from ..ops.rank import grouped_mad_outliers
+
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "value_c": _cents(t["value"])})
+
+    cents = ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    return grouped_mad_outliers(cents, key="event_type", value="value_c")

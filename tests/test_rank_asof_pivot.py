@@ -157,3 +157,29 @@ def test_pivot_sum_matches_pandas():
         assert (out.set_index("day")[f"{c}_c"] == exp).all(), c
     assert (out.set_index("day")["n"] == exp_n).all()
     assert "other_c" not in out.columns
+
+
+def test_grouped_mad_outliers_planted():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from session_graph_ray.ops.rank import grouped_mad_outliers
+
+    rng = np.random.default_rng(2)
+    base = rng.integers(90, 111, size=500)        # tight cluster
+    planted = np.array([10_000, -10_000, 9_999])  # obvious outliers
+    vals = np.concatenate([base, planted])
+    t = pa.table({"k": pa.array(["a"] * len(vals)),
+                  "v": pa.array(vals.astype(np.int64))})
+    out = grouped_mad_outliers(rd.from_arrow(t).repartition(4),
+                               "k", "v").to_pandas()
+    row = out.iloc[0]
+    assert 90 <= row["median"] <= 110
+    assert row["mad"] <= 10
+    assert row["n_rows"] == len(vals)
+    assert row["n_outliers"] == 3   # exactly the planted rows
+    # partition independence
+    out2 = grouped_mad_outliers(rd.from_arrow(t).repartition(1),
+                                "k", "v").to_pandas()
+    assert out.equals(out2)
