@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next_within_2h": A.q_events_next_within_2h,
         "contrastive_negatives": A.q_contrastive_negatives,
         "event_value_outliers": A.q_event_value_outliers,
+        "vocab_edit1_pairs": A.q_vocab_edit1_pairs,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -2105,5 +2106,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN mad a USING (event_type)
             GROUP BY v.event_type, m.median, a.mad
             ORDER BY v.event_type
+        """,
+        # edit-distance-1 vocabulary pairs (FastSS blocking is exact, so
+        # the levenshtein self-join is the full truth, not a sample)
+        "vocab_edit1_pairs": r"""
+            WITH base AS (
+              SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents
+            ),
+            firsts AS (
+              SELECT regexp_extract(text, '\S+') AS tok
+              FROM documents
+              WHERE doc_id % 4 = 0 AND regexp_extract(text, '\S+') <> ''
+            ),
+            planted AS (SELECT 'x' || substr(tok, 2) AS tok FROM firsts),
+            v AS (SELECT DISTINCT tok
+                  FROM (SELECT tok FROM base
+                        UNION ALL SELECT tok FROM planted))
+            SELECT a.tok AS token_a, b.tok AS token_b
+            FROM v a JOIN v b
+              ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
+            ORDER BY token_a, token_b
         """,
     }

@@ -3558,3 +3558,39 @@ def q_event_value_outliers(sf_dir: str) -> "rd.Dataset":
 
     cents = ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
     return grouped_mad_outliers(cents, key="event_type", value="value_c")
+
+
+def q_vocab_edit1_pairs(sf_dir: str) -> "rd.Dataset":
+    """Edit-distance-1 spelling-variant discovery over the corpus
+    vocabulary (ops/fuzzy.edit1_pairs, FastSS deletion neighborhoods —
+    an EXACT blocking scheme, no recall loss). Every 4th doc plants a
+    typo of its first token (first char -> 'x'), so the variant graph is
+    non-trivial; the oracle self-joins the same vocabulary with
+    DuckDB's levenshtein() = 1."""
+    from ..ops.fuzzy import edit1_pairs
+    from ..ops.wordcount import _flat_tokens
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        flat, lengths = _flat_tokens(t.column("text"))
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        # planted typos: first token of every 4th doc, first char -> 'x'
+        starts = np.cumsum(lengths) - lengths
+        has = (lengths > 0) & (d % 4 == 0)
+        firsts = flat.take(pa.array(starts[has])).to_pylist()
+        typos = ["x" + w[1:] for w in firsts]
+        return pa.table({"token": pa.concat_arrays(
+            [flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+             else flat, pa.array(typos, pa.string())])})
+
+    tokens = docs.map_batches(toks, batch_format="pyarrow",
+                              batch_size=8192)
+    out = edit1_pairs(tokens)
+
+    def clean(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["token_a"], pa.scalar("__truncated__"))
+        return t.filter(keep)
+
+    return (out.map_batches(clean, batch_format="pyarrow")
+            .sort(["token_a", "token_b"]))
