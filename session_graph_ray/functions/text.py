@@ -148,3 +148,35 @@ def is_scorable_content(content: str | None, min_chars: int = 8) -> bool:
     sample = c[:256]
     bad = sum(1 for ch in sample if ord(ch) < 9 or (13 < ord(ch) < 32))
     return bad <= len(sample) * 0.05
+
+
+_SOUNDEX_CODE = str.maketrans({
+    **{c: "1" for c in "bfpv"}, **{c: "2" for c in "cgjkqsxz"},
+    **{c: "3" for c in "dt"}, "l": "4", **{c: "5" for c in "mn"},
+    "r": "6",
+})
+
+
+def soundex(word: str) -> str:
+    """American Soundex (Knuth TAOCP vol. 3): first letter + three digits,
+    adjacent duplicate codes collapsed, h/w transparent between duplicates,
+    vowels break runs. Empty/non-alpha input -> ''."""
+    w = [c for c in word.lower() if c.isalpha()]
+    if not w:
+        return ""
+    first = w[0]
+    codes = [c.translate(_SOUNDEX_CODE) for c in w]
+    codes = [c if len(c) == 1 and c.isdigit() else
+             ("-" if c in ("h", "w") else "0") for c in codes]
+    out = []
+    prev = codes[0]
+    for c in codes[1:]:
+        if c == "-":          # h/w: transparent (duplicates still collapse)
+            continue
+        if c == "0":          # vowel: breaks a duplicate run
+            prev = "0"
+            continue
+        if c != prev:
+            out.append(c)
+        prev = c
+    return (first.upper() + "".join(out) + "000")[:4]

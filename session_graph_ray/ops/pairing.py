@@ -49,6 +49,7 @@ from ..functions.minhash import _ranges_concat
 FAM_EXACT = 0
 FAM_STEM = 1
 FAM_MH = 2
+FAM_PHON = 3  # phonetic (soundex) stem blocks — fuzzy route
 
 ROUTE_EXACT = 0
 ROUTE_FUZZY = 1

@@ -194,3 +194,36 @@ __all__ = [
     "explode_keys_batch",
     "split_metric_rows",
 ]
+
+
+@register_blocking_key("stem_soundex")
+def stem_soundex_keys(batch: pa.Table, cfg: ERConfig) -> pa.Table:
+    """Phonetic block: lang + Soundex of the normalized path stem — the
+    classic ER blocking key for misspelled names ('Robert'/'Rupert' share
+    R163), here over file stems. Registered but NOT in the default
+    ``ERConfig.blocking_keys``; enabling it is the extension-surface demo
+    (tests/test_blocking.py) — one config line adds a whole key family.
+    Soundex runs once per DISTINCT stem in the batch (dictionary-encode
+    + gather), not per row."""
+    from ..functions.text import soundex
+    from ..ops.pairing import FAM_PHON
+
+    sha = batch.column("sha_u64").to_numpy(zero_copy_only=False).astype(
+        np.uint64)
+    fid = batch.column("file_id_u64").to_numpy(
+        zero_copy_only=False).astype(np.uint64)
+    langs = batch.column("lang_norm").to_pylist()
+    stems = batch.column("stem_norm")
+    if isinstance(stems, pa.ChunkedArray):
+        stems = stems.combine_chunks()
+    enc = stems.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    sdx = [soundex(s or "") for s in enc.dictionary.to_pylist()]
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    row_sdx = [sdx[c] for c in codes]
+    si = np.flatnonzero(np.array([bool(x) for x in row_sdx]))
+    if not si.size:
+        return KEYS_SCHEMA.empty_table()
+    key_h = hash64_np([f"{langs[i]}\x1f{row_sdx[i]}" for i in si])
+    return _keys_table(_tag(key_h, FAM_PHON), fid[si], FAM_PHON, sha[si])

@@ -164,3 +164,41 @@ def test_blocking_metrics(tiny_corpus_dir):
     f1 = pairwise_f1(res.assignments,
                      f"{tiny_corpus_dir}/labeled_pairs.parquet")
     assert f1["recall"] == 1.0
+
+
+def test_soundex_blocking_key_extension(tiny_corpus_dir):
+    """Extension surface: one config line enables the phonetic key family
+    and the full pipeline still recovers the planted clusters exactly."""
+    from dataclasses import replace
+
+    from session_graph_ray.config import ERConfig
+    from session_graph_ray.eval import cluster_equality, pairwise_f1
+    from session_graph_ray.pipelines.er import run_er_pipeline
+
+    cfg = replace(ERConfig(),
+                  blocking_keys=("sha", "stem", "minhash", "stem_soundex"))
+    res = run_er_pipeline(f"{tiny_corpus_dir}/corpus", cfg)
+    f1 = pairwise_f1(res.assignments,
+                     f"{tiny_corpus_dir}/labeled_pairs.parquet")
+    assert f1["f1"] == 1.0
+    eq = cluster_equality(res.assignments,
+                          f"{tiny_corpus_dir}/expected_clusters.parquet")
+    assert eq["exact_equal_frac"] == 1.0
+
+
+def test_soundex_groups_phonetic_variants():
+    import pyarrow as pa
+
+    from session_graph_ray.config import ERConfig
+    from session_graph_ray.registry import blocking_key_provider
+
+    batch = pa.table({
+        "sha_u64": pa.array([1, 2, 3], pa.uint64()),
+        "file_id_u64": pa.array([10, 20, 30], pa.uint64()),
+        "lang_norm": pa.array(["py", "py", "py"]),
+        "stem_norm": pa.array(["robert", "rupert", "ashcraft"]),
+    })
+    keys = blocking_key_provider("stem_soundex")(batch, ERConfig())
+    k = keys["block_key"].to_pylist()
+    assert k[0] == k[1]      # R163 == R163
+    assert k[2] != k[0]      # A261 differs
