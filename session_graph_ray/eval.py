@@ -149,3 +149,86 @@ def blocking_metrics(
         "reduction_ratio": 1.0 - (n_cand / all_pairs if all_pairs else 0.0),
         "pair_completeness": (n_hit / n_want) if n_want else 1.0,
     }
+
+
+def threshold_sweep(
+    scores: "ray.data.Dataset",
+    labeled_pairs_path: str,
+    id_a: str | None = None,
+    id_b: str | None = None,
+    score_col: str = "score",
+    n_buckets: int = 1000,
+) -> pd.DataFrame:
+    """Precision/recall over every decision threshold — the curve you read
+    BEFORE pinning ``ERConfig.match_threshold``. Scores quantize to
+    ``n_buckets`` levels; each batch ships one (bucket, is_match) count
+    histogram (constant-size partials), and the cumulative sweep runs
+    driver-side over the tiny histogram. Labeled pairs not present in the
+    candidate set count as false negatives at EVERY threshold (blocking
+    misses bound recall — same caveat as ``blocking_metrics``).
+
+    Returns a DataFrame (threshold, tp, fp, fn, precision, recall, f1)
+    from the highest occupied bucket downward.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    cols = scores.schema().names
+    id_a = id_a or cols[0]
+    id_b = id_b or cols[1]
+    lab = pd.read_parquet(labeled_pairs_path)
+    lab = lab[lab["is_match"]] if "is_match" in lab else lab
+    x = lab.iloc[:, 0].to_numpy()
+    y = lab.iloc[:, 1].to_numpy()
+    if x.dtype == object:
+        from .functions.hashing import hex_to_u64
+
+        x, y = hex_to_u64(list(x)), hex_to_u64(list(y))
+    vocab = np.unique(np.concatenate([x, y]))
+    V = np.int64(len(vocab))
+    pos_keys = np.unique(np.searchsorted(vocab, np.minimum(x, y)) * V
+                         + np.searchsorted(vocab, np.maximum(x, y)))
+    ref = ray.put((vocab, pos_keys, V))
+
+    def hist(t: pa.Table) -> pa.Table:
+        vc, pk, v = ray.get(ref)
+        a = t.column(id_a).to_numpy(zero_copy_only=False)
+        b = t.column(id_b).to_numpy(zero_copy_only=False)
+        s = t.column(score_col).to_numpy(zero_copy_only=False)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        il = np.searchsorted(vc, lo).clip(max=len(vc) - 1)
+        ih = np.searchsorted(vc, hi).clip(max=len(vc) - 1)
+        known = (len(vc) > 0) & (vc[il] == lo) & (vc[ih] == hi)
+        is_pos = np.zeros(len(s), dtype=np.int64)
+        is_pos[known] = np.isin(il[known] * v + ih[known], pk)
+        bkt = np.clip((s * n_buckets).astype(np.int64), 0, n_buckets)
+        pos = np.bincount(bkt, weights=is_pos,
+                          minlength=n_buckets + 1).astype(np.int64)
+        tot = np.bincount(bkt, minlength=n_buckets + 1).astype(np.int64)
+        return pa.table({"p": pa.array([pos.tobytes()], pa.binary()),
+                         "t": pa.array([tot.tobytes()], pa.binary())})
+
+    rows = scores.map_batches(hist, batch_format="pyarrow",
+                              batch_size=65536).take_all()
+    pos = np.zeros(n_buckets + 1, dtype=np.int64)
+    tot = np.zeros(n_buckets + 1, dtype=np.int64)
+    for r in rows:
+        pos += np.frombuffer(r["p"], dtype=np.int64)
+        tot += np.frombuffer(r["t"], dtype=np.int64)
+    n_pos_total = len(pos_keys)
+    tp = np.cumsum(pos[::-1])[::-1]           # matches at or above bucket
+    pred = np.cumsum(tot[::-1])[::-1]
+    fp = pred - tp
+    fn = n_pos_total - tp
+    occupied = tot > 0
+    th = np.arange(n_buckets + 1) / n_buckets
+    prec = np.where(pred > 0, tp / np.maximum(pred, 1), 1.0)
+    rec = np.where(n_pos_total > 0, tp / max(n_pos_total, 1), 1.0)
+    f1 = np.where(prec + rec > 0, 2 * prec * rec / np.maximum(
+        prec + rec, 1e-300), 0.0)
+    out = pd.DataFrame({"threshold": th, "tp": tp, "fp": fp, "fn": fn,
+                        "precision": prec, "recall": rec, "f1": f1})
+    return out[occupied].reset_index(drop=True)
