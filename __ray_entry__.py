@@ -315,6 +315,25 @@ def _q_knn_pq(sf_dir: str):
                           k=10, mult=4)
 
 
+def _q_knn_ivfpq(sf_dir: str):
+    """IVFADC (Jégou 2011 §IV): coarse-cell prune + ADC ranking over the
+    compressed corpus — only ~n_probe/C of the M-byte codes are read per
+    query set. Rows-only; recall vs brute force pinned in tests/test_pq.py."""
+    from session_graph_ray.sources.parquet import read_parquet_clean as _rp
+
+    from session_graph_ray.ops.pq import ivfpq_encode, ivfpq_topk, pq_train
+    from session_graph_ray.ops.similarity import train_ivf_centroids
+    from session_graph_ray.pipelines.analytics import _query_vectors
+
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"])
+    queries, qids = _query_vectors(sf_dir, 5)
+    books = pq_train(emb, m=8, k=16)
+    cents = train_ivf_centroids(emb, n_centroids=12, n_iter=2)
+    enc = ivfpq_encode(emb, books, cents)
+    return ivfpq_topk(enc, books, cents, queries, qids, k=10, n_probe=4)
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed BPE merge learning (ops/bpe.py): 24 merges over the
     documents word census. Iterative global argmax per round — not
@@ -544,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": _q_pack_docs,
         "knn_ivf": _q_knn_ivf,
         "knn_pq": _q_knn_pq,
+        "knn_ivfpq": _q_knn_ivfpq,
         "bpe_merges": _q_bpe_merges,
         "doc_bpe_segments": _q_doc_bpe_segments,
         "knn_graph": A.q_knn_graph,

@@ -254,3 +254,69 @@ def pq_topk_rerank(
                                  batch_size=8192)
     return brute_force_topk(restricted, queries, query_ids, k=k,
                             id_col=id_col, vec_col=vec_col)
+
+
+def ivfpq_encode(
+    ds: "ray.data.Dataset",
+    books: np.ndarray,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """(id_col, cell, code): the IVFADC corpus layout — each vector tagged
+    with its coarse IVF cell AND its M-byte PQ code, so queries prune by
+    cell and rank by ADC without ever touching raw vectors."""
+    bref = ray.put(np.asarray(books, dtype=np.float64))
+    cref = ray.put(_unit(np.asarray(centroids, dtype=np.float64)))
+
+    def encode(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        c = ray.get(cref)
+        mat = _unit(_vecs_np(t.column(vec_col)))
+        cell = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        s = _split(mat, b.shape[0])
+        dots = np.einsum("nmd,mkd->nmk", s, b)
+        cn = np.einsum("mkd,mkd->mk", b, b)
+        codes = (cn[None] - 2.0 * dots).argmin(axis=2).astype(np.uint8)
+        return pa.table({
+            id_col: pa.compute.cast(t.column(id_col), pa.int64()),
+            "cell": pa.array(cell),
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), pa.uint8()), b.shape[0]),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=8192)
+
+
+def ivfpq_topk(
+    encoded: "ray.data.Dataset",
+    books: np.ndarray,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """IVFADC search (Jégou 2011 §IV): prune the encoded corpus to the
+    query set's probed cells (one vectorized membership filter — only
+    ~n_probe/C of the compressed corpus is even read), then ADC-rank the
+    survivors. Same output contract as ``pq_topk``; the scan cost drops
+    by the probe ratio while the codebook/LUT machinery is unchanged."""
+    cents = _unit(np.asarray(centroids, dtype=np.float64))
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    probed: set[int] = set()
+    for qi in range(len(q)):
+        sims = cents @ q[qi]
+        probed.update(np.argsort(-sims)[:n_probe].tolist())
+    probed_arr = np.array(sorted(probed), dtype=np.int64)
+    pref = ray.put(probed_arr)
+
+    def prune(t: pa.Table) -> pa.Table:
+        cells = ray.get(pref)
+        c = t.column("cell").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(c, cells)))
+
+    pruned = encoded.map_batches(prune, batch_format="pyarrow",
+                                 batch_size=8192)
+    return pq_topk(pruned, books, q, query_ids, k=k, id_col=id_col)

@@ -88,3 +88,28 @@ def test_pq_topk_exact_row_contract(corpus):
     assert len(out) == 10
     assert list(out["rank"]) == list(range(1, 11))
     assert 7 not in set(out.vec_id)  # exclude_self
+
+
+def test_ivfpq_recall_and_prune(corpus):
+    from session_graph_ray.ops.pq import ivfpq_encode, ivfpq_topk
+    from session_graph_ray.ops.similarity import train_ivf_centroids
+
+    vecs, t = corpus
+    ds = rd.from_arrow(t).repartition(4)
+    books = pq_train(ds, m=16, k=64, n_iter=4)
+    cents = train_ivf_centroids(ds, n_centroids=12, n_iter=3)
+    enc = ivfpq_encode(ds, books, cents).materialize()
+    # the coarse quantizer genuinely spreads the corpus
+    n_cells = enc.to_pandas().cell.nunique()
+    assert n_cells >= 8
+    qids = [0, 100, 250, 400, 550]
+    got = (ivfpq_topk(enc, books, cents, vecs[qids], qids, k=10,
+                      n_probe=4)
+           .to_pandas().groupby("query_id").vec_id.apply(set))
+    want = (brute_force_topk(ds, vecs[qids], qids, k=10)
+            .to_pandas().groupby("query_id").vec_id.apply(set))
+    recalls = [len(got[q] & want[q]) / 10 for q in qids]
+    # clustered corpus: probing 4/12 cells keeps the true neighbors'
+    # cells, so IVF pruning costs little on top of ADC (measured ~=
+    # pure-ADC recall at a third of the scan)
+    assert np.mean(recalls) >= 0.5, recalls
