@@ -152,11 +152,25 @@ def edit1_pairs(
         return t.append_column("__pbkt", pa.array(
             (h % np.uint64(num_buckets)).astype(np.int32)))
 
+    # Truncation metric rows are excluded from the dedup and their counts
+    # SUMMED (two variant buckets dropping EQUAL counts would otherwise
+    # collapse to one metric row — ADVICE r3); metric rows with different
+    # counts hash to different pair buckets, so the output may hold several
+    # metric rows whose token_b counts sum to the global dropped total.
     def dedup(g: pa.Table) -> pa.Table:
         import pandas as pd
 
-        df = g.to_pandas().drop_duplicates(["token_a", "token_b"])
-        return pa.Table.from_pandas(df[["token_a", "token_b"]],
+        df = g.to_pandas()
+        metric = df["token_a"] == "__truncated__"
+        out = df[~metric].drop_duplicates(["token_a", "token_b"])
+        if metric.any():
+            total = int(df.loc[metric, "token_b"].astype(np.int64).sum())
+            out = pd.concat(
+                [out[["token_a", "token_b"]],
+                 pd.DataFrame({"token_a": ["__truncated__"],
+                               "token_b": [str(total)]})],
+                ignore_index=True)
+        return pa.Table.from_pandas(out[["token_a", "token_b"]],
                                     preserve_index=False)
 
     return (cand.map_batches(pair_bkt, batch_format="pyarrow")

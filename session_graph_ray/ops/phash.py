@@ -195,12 +195,27 @@ def phash_dup_pairs(
     cand = exploded.groupby("__bkt").map_groups(pairs,
                                                 batch_format="pyarrow")
 
-    # a pair can match in several bands — one bucketed distinct pass
+    # a pair can match in several bands — one bucketed distinct pass.
+    # Truncation METRIC rows are excluded from the dedup and their dropped-
+    # pair counts SUMMED (identical metric rows from different band buckets
+    # would otherwise collapse to one, under-counting the truncation —
+    # ADVICE r3): all metric rows share the ('__truncated__', '') key, so
+    # they land in one pair bucket and the sum here is the global total.
     def dedup(g: pa.Table) -> pa.Table:
         import pandas as pd
 
-        df = g.to_pandas().drop_duplicates(["media_a", "media_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        df = g.to_pandas()
+        metric = df["media_a"] == "__truncated__"
+        out = df[~metric].drop_duplicates(["media_a", "media_b"])
+        if metric.any():
+            out = pd.concat(
+                [out, pd.DataFrame({
+                    "media_a": ["__truncated__"], "media_b": [""],
+                    "dist": [int(df.loc[metric, "dist"].sum())],
+                    "__pbkt": [df.loc[metric, "__pbkt"].iloc[0]],
+                })],
+                ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def pair_bkt(t: pa.Table) -> pa.Table:
         from ..functions.hashing import hash64_np

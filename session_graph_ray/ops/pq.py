@@ -178,6 +178,15 @@ def pq_topk(
         lut = ray.get(lref)  # (nq, m, k)
         qids = ray.get(qids_ref)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.float64()),
+        })
+        if len(ids) == 0:
+            # zero-row blocks are routine after ivfpq_topk's cell prune;
+            # np.argpartition on an empty array would raise
+            return empty
         col = t.column("code")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -188,10 +197,23 @@ def pq_topk(
         ar = np.arange(m)
         for qi in range(lut.shape[0]):
             d = lut[qi][ar, codes].sum(axis=1)  # (n,) gather+sum
-            idx = np.argpartition(d, kk - 1)[:kk]
+            # keep everything at or below the kk-th smallest distance —
+            # boundary TIES included. ADC distances tie constantly
+            # (identical PQ codes => identical distance), so a bare
+            # argpartition[:kk] would keep an arbitrary tied subset and
+            # break the (dist, vec_id) tie-break across batch layouts;
+            # the final per-query merge resolves the ties
+            # deterministically (the _row_topk idiom, similarity.py).
+            if kk < d.size:
+                thresh = np.partition(d, kk - 1)[kk - 1]
+                idx = np.flatnonzero(d <= thresh)
+            else:
+                idx = np.arange(d.size)
             out_q.append(np.full(idx.size, qids[qi], np.int64))
             out_v.append(ids[idx].astype(np.int64))
             out_d.append(d[idx])
+        if not out_q:
+            return empty
         return pa.table({
             "query_id": pa.array(np.concatenate(out_q)),
             "vec_id": pa.array(np.concatenate(out_v)),

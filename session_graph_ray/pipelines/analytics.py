@@ -3441,6 +3441,13 @@ def q_parts_supplier_counts(sf_dir: str) -> "rd.Dataset":
     def pair_distinct(t: pa.Table) -> pa.Table:
         p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # keys outside [0, 2^31) would silently corrupt the packed pair
+        # (the overflow class triangles._canonical_edges raises on) —
+        # validate loudly instead (ADVICE r3)
+        if len(p) and (max(p.max(initial=0), s.max(initial=0))
+                       >= (np.int64(1) << 31)
+                       or min(p.min(initial=0), s.min(initial=0)) < 0):
+            raise ValueError("part/supplier keys must fit in 31 bits")
         key = np.unique(p * (np.int64(1) << 31) + s)
         return pa.table({"pk": pa.array(key),
                          "__bkt": pa.array((key % B).astype(np.int32))})

@@ -59,3 +59,30 @@ def test_all_queries_have_callables():
     qs = entry_mod.queries()
     assert set(entry_mod.oracle_sql()) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_parts_supplier_counts_rejects_oversized_keys(tmp_path):
+    """ADVICE r3: keys >= 2^31 would silently corrupt the packed
+    (partkey, suppkey) pair — the query must raise instead."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    import pyarrow as _pa
+    from session_graph_ray.pipelines.analytics import q_parts_supplier_counts
+
+    pq.write_table(_pa.table({
+        "s_suppkey": _pa.array([1], _pa.int64()),
+        "s_acctbal": _pa.array([10.0]),
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(_pa.table({
+        "p_partkey": _pa.array([2**31 + 5], _pa.int64()),
+        "p_brand": _pa.array(["B"]), "p_type": _pa.array(["T"]),
+        "p_size": _pa.array([1], _pa.int64()),
+    }), tmp_path / "part.parquet")
+    pq.write_table(_pa.table({
+        "l_partkey": _pa.array([2**31 + 5], _pa.int64()),
+        "l_suppkey": _pa.array([1], _pa.int64()),
+    }), tmp_path / "lineitem.parquet")
+    with _pytest.raises((ValueError, Exception)) as ei:
+        q_parts_supplier_counts(str(tmp_path)).to_pandas()
+    assert "31 bits" in str(ei.value)

@@ -57,3 +57,20 @@ def test_edit1_pairs_matches_brute_force():
     want = {(x, y) for i, x in enumerate(vocab) for y in vocab[i + 1:]
             if _lev(x, y) == 1}
     assert got == want and len(want) > 30
+
+
+def test_edit1_truncation_counts_sum_when_equal():
+    """ADVICE r3: two variant buckets dropping EQUAL pair counts must both
+    survive the pair-dedup (summed), never collapse to one metric row."""
+    import string
+
+    # 26 letters + 4 digits = 30 tokens per variant family
+    toks = ([c + "aaa" for c in (string.ascii_lowercase + "0123")]
+            + [c + "bbb" for c in (string.ascii_lowercase + "0123")])
+    ds = rd.from_arrow(pa.table({"token": pa.array(toks, pa.string())}))
+    out = edit1_pairs(ds, bucket_cap=4).to_pandas()
+    metrics = out[out.token_a == "__truncated__"]
+    dropped = int(metrics.token_b.astype(int).sum())
+    # the 'aaa' and 'bbb' variant groups each hold 30 tokens; cap 4 drops
+    # C(30,2)-C(4,2)=429 per group (other variant groups are singletons)
+    assert dropped == 2 * (30 * 29 // 2 - 4 * 3 // 2)

@@ -145,3 +145,19 @@ def test_resize_then_phash_composition():
     pairs = phash_dup_pairs(hashes, max_dist=3).to_pandas()
     got = set(zip(pairs.media_a, pairs.media_b))
     assert ("large", "small") in got
+
+
+def test_truncation_counts_sum_across_band_buckets():
+    """ADVICE r3: identical metric rows from different band buckets must
+    SUM, not collapse in the pair-dedup. 20 identical images, cap 5: each
+    of the 4 bands drops C(20,2)-C(5,2)=180 pairs -> exactly 720 total."""
+    payload = _smooth_ppm(seed=1)
+    t = pa.table({
+        "media_id": pa.array([f"c{i:02d}" for i in range(20)], pa.string()),
+        "payload": pa.array([payload] * 20, pa.large_binary()),
+    })
+    hashes = media_phashes(rd.from_arrow(t)).materialize()
+    pairs = phash_dup_pairs(hashes, max_dist=0, bucket_cap=5).to_pandas()
+    metrics = pairs[pairs.media_a == "__truncated__"]
+    assert len(metrics) == 1  # all metric rows share one pair bucket
+    assert int(metrics.dist.sum()) == 4 * (20 * 19 // 2 - 5 * 4 // 2)

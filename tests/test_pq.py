@@ -113,3 +113,45 @@ def test_ivfpq_recall_and_prune(corpus):
     # cells, so IVF pruning costs little on top of ADC (measured ~=
     # pure-ADC recall at a third of the scan)
     assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_pq_topk_deterministic_under_ties_and_layout():
+    """ADVICE r3: identical PQ codes => identical ADC distances, so the
+    per-batch prune must keep boundary TIES (not an arbitrary argpartition
+    subset) for the final (dist, vec_id) tie-break to be layout-invariant."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(4, 8))
+    # 40 exact copies of base[0] (all tie at the boundary), plus fillers
+    vecs = np.concatenate([np.tile(base[0], (40, 1)),
+                           base[1:] + 0.01 * rng.normal(size=(3, 8))])
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.astype(np.float32) for v in vecs]),
+    })
+    books = pq_train(rd.from_arrow(t), m=4, k=8, n_iter=3)
+    frames = []
+    for parts in (1, 7):
+        enc = pq_encode(rd.from_arrow(t).repartition(parts), books)
+        out = (pq_topk(enc, books, vecs[[0]], [0], k=10)
+               .to_pandas().sort_values("rank").reset_index(drop=True))
+        frames.append(out)
+    a, b = frames
+    assert list(a.vec_id) == list(b.vec_id)
+    assert list(a["rank"]) == list(range(1, 11))
+    # ties resolve to the smallest vec_ids among the 39 other copies
+    assert list(a.vec_id)[:9] == list(range(1, 10))
+
+
+def test_pq_topk_survives_empty_blocks(corpus):
+    """ADVICE r3: zero-row blocks (routine after ivfpq's cell prune) must
+    not crash the per-batch ADC kernel."""
+    vecs, t = corpus
+    ds = rd.from_arrow(t).repartition(4)
+    books = pq_train(ds, m=4, k=8, n_iter=2)
+    # empty 3 of 4 blocks post-encode
+    enc = pq_encode(ds, books).map_batches(
+        lambda b: b.filter(pa.compute.less(b.column("vec_id"), 100)),
+        batch_format="pyarrow")
+    out = pq_topk(enc, books, vecs[[7]], [7], k=10).to_pandas()
+    assert len(out) == 10
+    assert list(out.sort_values("rank")["rank"]) == list(range(1, 11))
