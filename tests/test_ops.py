@@ -491,3 +491,30 @@ def test_bm25_topk_matches_bruteforce():
         got = out[out.query_id == qid].sort_values("rank")
         assert got.doc_id.tolist() == [d for d, _ in ref]
         assert np.allclose(got.score.to_numpy(), [s for _, s in ref])
+
+
+def test_bm25_df_reduce_is_term_bounded():
+    """VERDICT r3 #2: a planted common term ('the' in EVERY doc) must not
+    reach the driver as per-doc rows — each batch ships one <=|terms|
+    bincount partial, and the reduced df is exact."""
+    import pyarrow as pa
+
+    from session_graph_ray.ops.search import _term_df, _term_hits, bm25_topk
+
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(
+            [f"the quick w{i % 7} fox" for i in range(n)], pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(8)
+    terms = ["the", "w3", "zzz_absent"]
+    hits = _term_hits(ds, terms, "doc_id", "text")
+    df = _term_df(hits, len(terms))
+    assert df[0] == n          # 'the' appears in every doc
+    assert df[1] == sum(1 for i in range(n) if i % 7 == 3)
+    assert df[2] == 0
+    # end-to-end: scores still rank the rare term above the common one
+    out = bm25_topk(ds, {0: ["the"], 1: ["w3"]}, k=5).to_pandas()
+    assert set(out.query_id) == {0, 1}
+    assert (out.groupby("query_id")["rank"].max() == 5).all()
