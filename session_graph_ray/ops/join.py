@@ -77,25 +77,99 @@ def rename_batches(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data
 
 def broadcast_join(
     left: "ray.data.Dataset",
-    right_df: pd.DataFrame,
-    left_on: str | list[str],
-    right_on: str | list[str] | None = None,
+    right_df: "pd.DataFrame | object",
+    left_on: str,
+    right_on: str | None = None,
     how: str = "inner",
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
-    """Merge a small pandas table into every batch of a large Dataset."""
-    right_ref = ray.put(right_df)
+    """Merge a small table into every batch of a large Dataset — ARROW-
+    NATIVE (VERDICT r3 #3: the pandas path round-tripped every big-side
+    batch Arrow->pandas->Arrow just to merge an already-small right side).
+
+    The right side is key-sorted ONCE on the driver and broadcast; each
+    batch is one ``pc.index_in`` against the distinct right keys plus a
+    vectorized repeat/take gather (the ``IndexedPairScorer._gather`` idiom,
+    stages/scoring.py) — zero-copy Arrow end to end. Semantics match the
+    old ``pandas.merge``: one-to-many right keys fan out, ``how`` is
+    inner/left, null left keys never match, and when ``right_on`` ==
+    ``left_on`` the single shared key column is kept (pandas' same-name
+    merge contract). Non-key column overlap raises (pandas silently
+    suffixed _x/_y — always a caller bug here)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     right_on = right_on or left_on
+    rt = (right_df if isinstance(right_df, pa.Table)
+          else pa.Table.from_pandas(right_df, preserve_index=False)
+          ).replace_schema_metadata(None)
+    # null right keys can never match (pandas NaN-key contract): drop them
+    rt = rt.filter(pc.is_valid(rt.column(right_on)))
+    rt = rt.take(pc.sort_indices(rt, sort_keys=[(right_on, "ascending")]))
+    rkey = rt.column(right_on).combine_chunks()
+    # run-length encode the sorted key: distinct values + start/count
+    if rt.num_rows:
+        k_np = rkey.to_numpy(zero_copy_only=False)
+        new_run = np.r_[True, k_np[1:] != k_np[:-1]]
+        starts = np.flatnonzero(new_run).astype(np.int64)
+        counts = np.diff(np.r_[starts, rt.num_rows]).astype(np.int64)
+        uniq = rkey.take(pa.array(starts))
+    else:
+        starts = counts = np.empty(0, np.int64)
+        uniq = rkey
+    same_key = right_on == left_on
+    rcols = [c for c in rt.column_names if not (same_key and c == right_on)]
+    ref = ray.put((rt.select(rcols) if same_key else rt, uniq, starts, counts))
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join supports inner/left, got {how}")
 
-    def merge(batch: pd.DataFrame):
-        from .util import pd_to_arrow
+    def merge(batch: pa.Table) -> pa.Table:
+        rtab, uq, st, ct = ray.get(ref)
+        overlap = set(batch.column_names) & set(rtab.column_names)
+        if overlap:
+            raise ValueError(f"broadcast_join column overlap: {overlap}")
+        idx = pc.index_in(batch.column(left_on), value_set=uq)
+        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+        matched = ~np.isnan(idx_np)
+        if how == "inner":
+            sel = np.flatnonzero(matched)
+            lt = batch.take(pa.array(sel)) if sel.size < batch.num_rows \
+                else batch
+            u = idx_np[sel].astype(np.int64)
+            reps = ct[u]
+            left_take = np.repeat(np.arange(len(u), dtype=np.int64), reps)
+            base = np.repeat(st[u], reps)
+            off = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            right_take = pa.array(base + off)
+            out_left = lt.take(pa.array(left_take)) \
+                if not np.array_equal(left_take,
+                                      np.arange(lt.num_rows)) else lt
+        else:  # left: unmatched rows fan out once with a null right side
+            u = np.where(matched, idx_np, 0).astype(np.int64)
+            cu = ct[u] if ct.size else np.zeros_like(u)
+            su = st[u] if st.size else np.zeros_like(u)
+            reps = np.where(matched, cu, 1).astype(np.int64)
+            left_take = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                                  reps)
+            base = np.repeat(np.where(matched, su, -1), reps)
+            off = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            ridx = base + off
+            right_take = pa.array(np.where(ridx < 0, 0, ridx),
+                                  mask=(ridx < 0))
+            out_left = batch.take(pa.array(left_take)) \
+                if not np.array_equal(left_take,
+                                      np.arange(batch.num_rows)) else batch
+        gathered = rtab.take(right_take)
+        cols = {c: out_left.column(c) for c in out_left.column_names}
+        for c in gathered.column_names:
+            cols[c] = gathered.column(c)
+        return pa.table(cols)
 
-        rdf = ray.get(right_ref)
-        return pd_to_arrow(
-            batch.merge(rdf, how=how, left_on=left_on, right_on=right_on)
-        )
-
-    return left.map_batches(merge, batch_format="pandas", batch_size=batch_size)
+    return left.map_batches(merge, batch_format="pyarrow",
+                            batch_size=batch_size)
 
 
 def join_partition_count(requested: int | None = None) -> int:

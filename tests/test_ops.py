@@ -518,3 +518,33 @@ def test_bm25_df_reduce_is_term_bounded():
     out = bm25_topk(ds, {0: ["the"], 1: ["w3"]}, k=5).to_pandas()
     assert set(out.query_id) == {0, 1}
     assert (out.groupby("query_id")["rank"].max() == 5).all()
+
+
+def test_broadcast_join_arrow_semantics():
+    """VERDICT r3 #3: the Arrow-native gather must keep pandas.merge
+    semantics — one-to-many fan-out, left-join null fill, null left keys
+    never matching, and same-name keys collapsing to one column."""
+    import pyarrow as pa
+
+    from session_graph_ray.ops.join import broadcast_join
+
+    lt = pa.table({"k": pa.array([1, 2, 2, 3, None, 5], pa.int64()),
+                   "v": pa.array(list("abcdef"))})
+    left = rd.from_arrow(lt).repartition(3)
+    right = pd.DataFrame({"k2": [2, 2, 3, 4], "name": ["x", "y", "z", "w"]})
+
+    inner = (broadcast_join(left, right, left_on="k", right_on="k2")
+             .to_pandas().sort_values(["v", "name"]).reset_index(drop=True))
+    assert list(zip(inner.v, inner.name)) == [
+        ("b", "x"), ("b", "y"), ("c", "x"), ("c", "y"), ("d", "z")]
+
+    lj = (broadcast_join(left, right, left_on="k", right_on="k2",
+                         how="left").to_pandas())
+    assert len(lj) == 8  # 2x2 fan-out + 1 match + 3 null-filled
+    assert lj[lj.v == "e"].name.isna().all()   # null key never matches
+    assert lj[lj.v == "f"].name.isna().all()   # unmatched key null-fills
+
+    same = broadcast_join(
+        left, pd.DataFrame({"k": [2, 3], "name": ["x", "z"]}), left_on="k"
+    ).to_pandas()
+    assert list(same.columns) == ["k", "v", "name"]  # single key column
