@@ -93,16 +93,22 @@ def _pair_partial(num_buckets: int = 64):
     return f
 
 
-def _bucket_top1(g: pa.Table) -> pa.Table:
-    pk = g["pk"].to_numpy(zero_copy_only=False)
-    c = g["c"].to_numpy(zero_copy_only=False)
-    vals, inv = np.unique(pk, return_inverse=True)
-    s = np.zeros(len(vals), dtype=np.int64)
-    np.add.at(s, inv, c)
-    # local winner: count desc, pair asc — vals are sorted so the first
-    # occurrence of the max is the smallest pair id
-    i = int(np.argmax(s))
-    return pa.table({"pk": pa.array([vals[i]]), "c": pa.array([int(s[i])])})
+def _bucket_topk(kk: int):
+    """Per-bucket top-kk candidates (count desc, pair asc). The global
+    top-kk is always inside the union of per-bucket top-kk, so the driver
+    reduces B*kk candidate rows per round — constant-size."""
+
+    def f(g: pa.Table) -> pa.Table:
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(pk, return_inverse=True)
+        s = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(s, inv, c)
+        order = np.lexsort((vals, -s))[:kk]
+        return pa.table({"pk": pa.array(vals[order]),
+                         "c": pa.array(s[order])})
+
+    return f
 
 
 def _apply_merge(a: int, b: int, z: int):
@@ -136,13 +142,42 @@ def _apply_merge(a: int, b: int, z: int):
     return f
 
 
+def _apply_merges(mlist: "list[tuple[int, int, int]]"):
+    """Compose k merge kernels into ONE map_batches pass (the merges are
+    symbol-disjoint, so application order cannot change the result)."""
+    fns = [_apply_merge(a, b, z) for a, b, z in mlist]
+
+    def f(t: pa.Table) -> pa.Table:
+        for fn in fns:
+            t = fn(t)
+        return t
+
+    return f
+
+
 def train_bpe(
     ds: "rd.Dataset",
     n_merges: int = 32,
     text_col: str = "text",
+    merges_per_round: int = 1,
 ) -> pa.Table:
     """Learn ``n_merges`` BPE merges; returns (round, left, right, new_id,
-    pair_count, token) with ``token`` the merged symbol spelled out."""
+    pair_count, token) with ``token`` the merged symbol spelled out and
+    ``round`` the merge ordinal.
+
+    ``merges_per_round=1`` is exact sequential BPE (Sennrich 2016).
+    ``merges_per_round=k>1`` is the standard batched speed-up (VERDICT r3
+    #4 — one census + one apply pass per k merges instead of per merge):
+    per census, accept up to k candidates greedily (count desc, pair asc)
+    whose SYMBOL SETS are pairwise disjoint. Disjointness guarantees the
+    accepted pairs' counts are exactly what sequential BPE would have seen
+    (merging (a1,b1) cannot create or destroy an (a2,b2) adjacency when
+    {a1,b1} and {a2,b2} are disjoint), so each accepted merge is
+    individually exact; the approximation is only that a NEW symbol's
+    pairs (x,z1) cannot win until the next census, which can reorder the
+    learned sequence vs sequential when such a pair would have out-counted
+    a same-round candidate. Where no such pair intervenes the two
+    trainers emit identical tables (pinned by pytest)."""
     words = _words_to_symbols(token_frequencies(ds, text_col=text_col))
     words = words.materialize()
 
@@ -152,29 +187,47 @@ def train_bpe(
         return spell[sym] if sym >= _NEW_BASE else chr(sym)
 
     rounds, lefts, rights, news, counts, toks = [], [], [], [], [], []
-    for r in range(n_merges):
-        cands = (words.map_batches(_pair_partial(), batch_format="pyarrow")
+    total = 0
+    while total < n_merges:
+        kk = min(merges_per_round, n_merges - total)
+        # fetch 2*kk per bucket: conflict skips may pass over candidates
+        cands = (words.map_batches(_pair_partial(),
+                                   batch_format="pyarrow")
                  .groupby("__bkt")
-                 .map_groups(_bucket_top1, batch_format="pyarrow")
+                 .map_groups(_bucket_topk(2 * kk), batch_format="pyarrow")
                  .to_pandas())
         if not len(cands):
             break
-        # global winner over <=B local winners: count desc, pair asc
-        cands = cands.sort_values(["c", "pk"],
-                                  ascending=[False, True])
-        pk, c = int(cands.pk.iloc[0]), int(cands.c.iloc[0])
-        if c < 2:
-            break  # nothing merges twice — stop like reference trainers
-        a, b = pk // int(_PACK), pk % int(_PACK)
-        z = _NEW_BASE + r
-        spell[z] = spelled(a) + spelled(b)
-        rounds.append(r)
-        lefts.append(a)
-        rights.append(b)
-        news.append(z)
-        counts.append(c)
-        toks.append(spell[z])
-        words = words.map_batches(_apply_merge(a, b, z),
+        cands = cands.sort_values(["c", "pk"], ascending=[False, True])
+        accepted: list[tuple[int, int, int]] = []
+        used: set[int] = set()
+        for pk, c in zip(cands.pk, cands.c):
+            if int(c) < 2:
+                # the remaining candidates (count-sorted) can't merge
+                # twice — end THIS census scan; training is exhausted
+                # only if nothing was accepted (reference stop rule:
+                # best pair < 2), since accepted merges can create new
+                # >=2 pairs for the next census
+                break
+            a, b = int(pk) // int(_PACK), int(pk) % int(_PACK)
+            if a in used or b in used:
+                continue  # conflicting pair: defer to the next census
+            z = _NEW_BASE + total + len(accepted)
+            accepted.append((a, b, z))
+            used.update((a, b))
+            spell[z] = spelled(a) + spelled(b)
+            rounds.append(total + len(accepted) - 1)
+            lefts.append(a)
+            rights.append(b)
+            news.append(z)
+            counts.append(int(c))
+            toks.append(spell[z])
+            if len(accepted) == kk:
+                break
+        if not accepted:
+            break  # best pair < 2: nothing can ever merge again
+        total += len(accepted)
+        words = words.map_batches(_apply_merges(accepted),
                                   batch_format="pyarrow").materialize()
 
     return pa.table({

@@ -110,3 +110,49 @@ def test_segment_counts_match_reference_segmentation():
     # merges genuinely compress: fewer tokens than characters
     chars = sum(len(w) for t in TEXTS for w in t.split())
     assert got.n_tokens.sum() < chars
+
+
+def test_batched_bpe_matches_sequential_when_compatible():
+    """VERDICT r3 #4: disjoint same-round merges are individually exact,
+    so on a corpus whose top pairs never chain the batched trainer emits
+    the identical merge table in one census per k merges."""
+    # 2-symbol words: merging never creates new adjacencies at all
+    text = " ".join(["ab"] * 9 + ["cd"] * 5 + ["ef"] * 3)
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([text])})
+    seq = train_bpe(rd.from_arrow(t), n_merges=3).to_pandas()
+    bat = train_bpe(rd.from_arrow(t), n_merges=3,
+                    merges_per_round=3).to_pandas()
+    assert seq.equals(bat)
+    assert list(seq.pair_count) == [9, 5, 3]
+
+
+def test_batched_bpe_defers_conflicting_pairs():
+    """A candidate sharing a symbol with a higher-count accepted pair is
+    DEFERRED to the next census, reproducing the sequential chain
+    (a,b) -> (ab,c) exactly."""
+    text = " ".join(["abc"] * 5)
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([text])})
+    seq = train_bpe(rd.from_arrow(t), n_merges=2).to_pandas()
+    bat = train_bpe(rd.from_arrow(t), n_merges=2,
+                    merges_per_round=4).to_pandas()
+    assert seq.equals(bat)
+    assert list(seq.token) == ["ab", "abc"]
+
+
+def test_batched_bpe_segments_equal_sequential():
+    """End-to-end: segmenting with a batched-learned table reproduces the
+    sequential segmentation on a compatible corpus."""
+    docs = ["the cat sat on the mat", "a cat and a rat", "the the the"]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(docs)})
+    ds = rd.from_arrow(t)
+    m_seq = train_bpe(ds, n_merges=6)
+    m_bat = train_bpe(ds, n_merges=6, merges_per_round=3)
+    # this corpus's rounds are compatible: the learned vocab is identical
+    assert (m_seq.to_pandas().token == m_bat.to_pandas().token).all()
+    a = bpe_segment_counts(ds, m_seq).to_pandas().sort_values("doc_id")
+    b = bpe_segment_counts(ds, m_bat).to_pandas().sort_values("doc_id")
+    assert (a.n_words == b.n_words).all()
+    assert (a.n_tokens == b.n_tokens).all()
