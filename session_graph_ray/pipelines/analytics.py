@@ -756,7 +756,8 @@ def q_conversation_tree(sf_dir: str, n_conversations: int = 50) -> "rd.Dataset":
 
     out = read_zip_conversations(zpath)
     return out.map_batches(
-        lambda t: t.rename_columns(["conv_id", "seq", "role", "frag"]),
+        lambda t: t.select(["conv_id", "seq", "role", "text"])
+                   .rename_columns(["conv_id", "seq", "role", "frag"]),
         batch_format="pyarrow",
     )
 

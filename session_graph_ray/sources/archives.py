@@ -28,8 +28,44 @@ _OUT_SCHEMA = pa.schema(
         ("seq", pa.int64()),
         ("role", pa.string()),
         ("text", pa.string()),
+        ("ts_us", pa.int64()),
     ]
 )
+
+
+def parse_extended_json_timestamp(ts_obj) -> "int | None":
+    """Mongo extended-JSON / ISO timestamp -> UTC epoch MICROSECONDS.
+
+    The reference's Grok reader normalizes three timestamp shapes
+    (``/root/reference/pipeline/grok_to_rdf.py:50-80``):
+      - ``{"$date": {"$numberLong": "<ms>"}}`` — epoch milliseconds;
+      - ``{"$date": "<ISO-8601>"}``;
+      - a bare ISO-8601 string.
+    Anything else (including ``None`` and malformed dicts) -> ``None``.
+    Integer math throughout — no float epoch that would lose sub-second
+    precision at year-2026 magnitudes.
+    """
+    from datetime import datetime, timedelta, timezone
+
+    if isinstance(ts_obj, dict):
+        d = ts_obj.get("$date")
+        if isinstance(d, dict):
+            nl = d.get("$numberLong")
+            try:
+                return int(nl) * 1000 if nl is not None else None
+            except (TypeError, ValueError):
+                return None
+        ts_obj = d
+    if isinstance(ts_obj, str):
+        try:
+            dt = datetime.fromisoformat(ts_obj.replace("Z", "+00:00"))
+        except ValueError:
+            return None
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        return (dt - epoch) // timedelta(microseconds=1)
+    return None
 
 
 def flatten_conversation_tree(mapping: dict) -> list[dict]:
@@ -39,6 +75,9 @@ def flatten_conversation_tree(mapping: dict) -> list[dict]:
     mapping); children are visited in the listed order; ``seq`` numbers the
     emitted messages depth-first — the reference's traversal semantics
     (``deepseek_to_rdf.py:89-162``) without its role-merging specifics.
+    A message's ``create_time`` (Mongo extended-JSON or ISO — the Grok
+    export shape, ``grok_to_rdf.py:169-170``) decodes to ``ts_us`` (UTC
+    epoch microseconds, null when absent/malformed).
     """
     roots = [
         nid for nid, node in mapping.items()
@@ -56,7 +95,13 @@ def flatten_conversation_tree(mapping: dict) -> list[dict]:
         node = mapping[nid]
         msg = node.get("message")
         if msg and msg.get("text") is not None:
-            out.append({"seq": seq, "role": msg.get("role", ""), "text": msg["text"]})
+            out.append({
+                "seq": seq,
+                "role": msg.get("role", ""),
+                "text": msg["text"],
+                "ts_us": parse_extended_json_timestamp(
+                    msg.get("create_time")),
+            })
             seq += 1
         for child in reversed(node.get("children", [])):
             stack.append(child)
@@ -79,6 +124,7 @@ def read_zip_conversations(
         seqs: list[int] = []
         roles: list[str] = []
         texts: list[str] = []
+        ts_us: list[int | None] = []
         for payload in batch.column("bytes").to_pylist():
             import io
 
@@ -90,12 +136,14 @@ def read_zip_conversations(
                     seqs.append(row["seq"])
                     roles.append(row["role"])
                     texts.append(row["text"])
+                    ts_us.append(row["ts_us"])
         return pa.table(
             {
                 "conv_id": pa.array(conv_ids, pa.int64()),
                 "seq": pa.array(seqs, pa.int64()),
                 "role": pa.array(roles, pa.string()),
                 "text": pa.array(texts, pa.string()),
+                "ts_us": pa.array(ts_us, pa.int64()),
             }
         )
 

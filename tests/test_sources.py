@@ -254,3 +254,50 @@ def test_read_parquet_evolved(tmp_path):
     pq.write_table(pa.table({"a": pa.array([9.5], pa.float64())}), p4)
     with pytest.raises(TypeError, match="schema drift"):
         read_parquet_evolved([p1, p4])
+
+
+def test_mongo_extended_json_timestamps(tmp_path):
+    """VERDICT r3 #6: a Grok-shaped export's Mongo extended-JSON
+    create_time ({\"$date\": {\"$numberLong\": ms}} and {\"$date\": ISO})
+    must decode to UTC epoch microseconds in the flatten map."""
+    from session_graph_ray.sources.archives import (
+        parse_extended_json_timestamp,
+        read_zip_conversations,
+    )
+
+    # unit: all three reference shapes + malformed fallbacks
+    assert parse_extended_json_timestamp(
+        {"$date": {"$numberLong": "1769019149377"}}) == 1769019149377000
+    assert parse_extended_json_timestamp(
+        {"$date": "2026-01-21T18:12:29.327Z"}) == 1769019149327000
+    assert parse_extended_json_timestamp(
+        "2026-01-21T18:12:29.327294Z") == 1769019149327294
+    assert parse_extended_json_timestamp(None) is None
+    assert parse_extended_json_timestamp({"$date": None}) is None
+    assert parse_extended_json_timestamp({"other": 1}) is None
+    assert parse_extended_json_timestamp("not-a-date") is None
+    assert parse_extended_json_timestamp(
+        {"$date": {"$numberLong": "oops"}}) is None
+
+    # end-to-end: a Grok-shaped zip carrying both timestamp forms
+    mapping = {
+        "r": {"parent": None, "children": ["c1"],
+              "message": {"role": "user", "text": "hi",
+                          "create_time": {"$date":
+                                          {"$numberLong": "1769019149377"}}}},
+        "c1": {"parent": "r", "children": ["c2"],
+               "message": {"role": "assistant", "text": "hello",
+                           "create_time":
+                           {"$date": "2026-01-21T18:12:30.5Z"}}},
+        "c2": {"parent": "c1", "children": [],
+               "message": {"role": "user", "text": "untimed"}},
+    }
+    z = tmp_path / "grok.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("conversations.json",
+                    json.dumps([{"id": 3, "mapping": mapping}]))
+    import pandas as pd
+
+    out = read_zip_conversations(str(z)).to_pandas().sort_values("seq")
+    assert out.ts_us.tolist()[:2] == [1769019149377000, 1769019150500000]
+    assert pd.isna(out.ts_us.iloc[2])
