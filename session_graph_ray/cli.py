@@ -33,6 +33,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--block-cap", type=int, default=64)
     ap.add_argument("--eval-labels", default=None,
                     help="optional labeled_pairs parquet for F1 report")
+    ap.add_argument("--watch", action="store_true",
+                    help="poll --corpus (a directory) and fold new files "
+                         "through the incremental pipeline; duplicate-"
+                         "content drops are skipped idempotently")
+    ap.add_argument("--poll-interval", type=float, default=5.0)
+    ap.add_argument("--max-polls", type=int, default=None,
+                    help="stop after N polls (default: run forever)")
+    ap.add_argument("--stop-file", default=None,
+                    help="exit the watch loop when this path appears")
+    ap.add_argument("--key-cache-dir", default=None,
+                    help="file-grain cache root for delta-only increments")
     args = ap.parse_args(argv)
 
     import ray
@@ -58,6 +69,21 @@ def main(argv: list[str] | None = None) -> int:
         score_threshold=args.score_threshold,
         block_cap=args.block_cap,
     )
+    if args.watch:
+        from .pipelines.watch import watch_loop
+
+        polls = watch_loop(
+            args.corpus, args.out, cfg=cfg,
+            key_cache_dir=args.key_cache_dir,
+            poll_interval=args.poll_interval,
+            max_polls=args.max_polls,
+            stop_file=args.stop_file,
+            on_poll=lambda m: print(json.dumps(m, default=str), flush=True),
+        )
+        print(json.dumps({"watch_polls": polls}))
+        if owns_session:
+            ray.shutdown()
+        return 0
     t0 = time.time()
     res = run_er_pipeline(args.corpus, cfg, checkpoint_dir=args.checkpoint_dir)
 

@@ -15,13 +15,15 @@ import os
 
 
 def filtered_paths(
-    root_or_glob: str,
+    root_or_glob: "str | list[str]",
     exclude_substrings: tuple[str, ...] = (),
     include_suffixes: tuple[str, ...] = (".parquet",),
 ) -> list[str]:
-    """Expand a directory/glob into a sorted file list with path predicates
-    applied before any read task is scheduled."""
-    if any(ch in root_or_glob for ch in "*?["):
+    """Expand a directory/glob/explicit file list into a sorted file list
+    with path predicates applied before any read task is scheduled."""
+    if isinstance(root_or_glob, (list, tuple)):
+        paths = list(root_or_glob)
+    elif any(ch in root_or_glob for ch in "*?["):
         paths = glob.glob(root_or_glob)
     elif os.path.isdir(root_or_glob):
         paths = [

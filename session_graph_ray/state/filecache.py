@@ -30,6 +30,39 @@ import pyarrow.parquet as pq
 import ray.data
 
 
+def _pin_fsspec_http_probe() -> None:
+    """Make Ray's per-read_parquet fsspec-HTTP probe thread-safe.
+
+    Ray's path resolution tries ``from fsspec.implementations.http import
+    HTTPFileSystem`` on EVERY read/write path resolution. In environments
+    without aiohttp that import always fails — and two threads racing the
+    failing import hit a CPython artifact where the loser raises
+    ``ImportError: cannot import name 'HTTPFileSystem'`` instead of the
+    ``ModuleNotFoundError`` Ray catches, killing a concurrent per-file
+    derive (reproduced with plain concurrent ``read_parquet`` calls).
+    If the module is unimportable, pin a sentinel whose HTTPFileSystem no
+    filesystem can be an instance of — semantically exact here (without
+    aiohttp an HTTP filesystem cannot exist), and the probe becomes a
+    cached, race-free module lookup."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    if "fsspec.implementations.http" in sys.modules:
+        return
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class _NoHTTPFileSystem:  # sentinel: isinstance(...) is always False
+        pass
+
+    mod.HTTPFileSystem = _NoHTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 def _entry_fp(path: str, cfg_fp: str) -> str:
     st = os.stat(path)
     h = hashlib.sha256(
@@ -109,6 +142,7 @@ class FileGrainCache:
             # pool keeps several per-file pipelines in flight — Ray Data
             # executions are independent and share the cluster's resource
             # budget, so this overlaps read/derive/write across files
+            _pin_fsspec_http_probe()
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=min(4, len(misses))) as ex:
