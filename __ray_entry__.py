@@ -617,6 +617,233 @@ def _sm64_chain(carry: str, key: str = "doc_id", seed: int = 0xA5A5,
     """
 
 
+def _crc32_values() -> str:
+    """The 256-entry zlib crc32 table as an inline VALUES list."""
+    rows = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (0xEDB88320 ^ (c >> 1)) if (c & 1) else (c >> 1)
+        rows.append(f"({i},{c})")
+    return ",".join(rows)
+
+
+def _mulmod64_cc(a: str, b: str) -> str:
+    """(a * b) mod 2^64 for two HUGEINT COLUMNS < 2^64 — 32-bit-half split
+    so no intermediate exceeds int128 (the column-column twin of
+    ``_sm64_mulmod``)."""
+    return (
+        f"CAST(( ({a} % 4294967296) * ({b} % 4294967296) "
+        f"+ (((({a} % 4294967296) * ({b} // 4294967296) "
+        f"+ ({a} // 4294967296) * ({b} % 4294967296)) % 4294967296) "
+        f"* 4294967296) ) % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _mix64_ctes(prefix: str, src: str, keys: "list[str]", val: str,
+                out_cte: str, out_col: str = "mx") -> str:
+    """CTE chain computing ``functions.minhash.mix64`` (the splitmix64
+    finalizer WITHOUT the golden-ratio add) bit-exactly over column ``val``
+    of ``src``, carrying ``keys`` through into ``out_cte``."""
+    k = ", ".join(keys)
+    return f"""
+            {prefix}a AS (SELECT {k},
+                CAST(xor(CAST({val} AS UBIGINT),
+                         CAST({val} AS UBIGINT) >> 30) AS HUGEINT) AS y
+                FROM {src}),
+            {prefix}b AS (SELECT {k},
+                {_sm64_mulmod(0xBF58476D1CE4E5B9)} AS z2 FROM {prefix}a),
+            {prefix}c AS (SELECT {k},
+                CAST(xor(z2, z2 >> 27) AS HUGEINT) AS y FROM {prefix}b),
+            {prefix}d AS (SELECT {k},
+                {_sm64_mulmod(0x94D049BB133111EB)} AS z3 FROM {prefix}c),
+            {out_cte} AS (SELECT {k}, xor(z3, z3 >> 31) AS {out_col}
+                FROM {prefix}d)"""
+
+
+def _token_hash_ctes() -> str:
+    """Shared CTE prefix mirroring the text-dedup kernels' tokenization +
+    hashing (ops/dedup.py, ops/textstats.py):
+
+    - ``toks_arr(doc_id, t)``: lowercased ``[^\\pL\\pN_]+`` split with
+      empties dropped — bit-equal to the RE2 split the kernels run;
+    - ``occp(doc_id, pos, tok)``: one row per token OCCURRENCE (1-based);
+    - ``tok_h(tok, h64)``: ``functions.hashing.hash64_np`` replayed exactly
+      — a recursive-CTE zlib-crc32 byte fold over each DISTINCT token,
+      h64 = (crc32(tok) << 32) | crc32(tok || '#').
+
+    Byte contract: ``ascii(substr(tok, i, 1))`` equals the utf-8 byte only
+    for ASCII text; the driver's documents corpus is pure ASCII at every
+    scale (verified), and a non-ASCII corpus would fail the value-hash gate
+    loudly rather than silently diverge."""
+    return rf"""
+            crct AS (SELECT ci, CAST(cv AS UBIGINT) AS cv
+                     FROM (VALUES {_crc32_values()}) AS v(ci, cv)),
+            toks_arr AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '[^\pL\pN_]+'),
+                         x -> x <> '') AS t
+              FROM documents
+            ),
+            occp AS (
+              SELECT doc_id, i AS pos, t[i] AS tok
+              FROM toks_arr, UNNEST(generate_series(1, len(t))) AS g(i)
+            ),
+            dt AS (SELECT DISTINCT tok FROM occp),
+            fold AS (
+              SELECT tok, 0 AS pos, CAST(4294967295 AS UBIGINT) AS crc
+              FROM dt
+              UNION ALL
+              SELECT f.tok, f.pos + 1, xor(ct.cv, f.crc >> 8) AS crc
+              FROM fold f JOIN crct ct
+                ON ct.ci = CAST((xor(f.crc,
+                     CAST(ascii(substr(f.tok, f.pos + 1, 1)) AS UBIGINT))
+                     & 255) AS INTEGER)
+              WHERE f.pos < length(f.tok)
+            ),
+            crcstate AS (SELECT tok, crc FROM fold WHERE pos = length(tok)),
+            crcs AS (
+              SELECT s.tok,
+                     xor(s.crc, CAST(4294967295 AS UBIGINT)) AS c1,
+                     xor(xor(ct.cv, s.crc >> 8),
+                         CAST(4294967295 AS UBIGINT)) AS c2
+              FROM crcstate s JOIN crct ct
+                ON ct.ci = CAST((xor(s.crc, CAST(35 AS UBIGINT)) & 255)
+                                AS INTEGER)
+            ),
+            tok_h AS (SELECT tok,
+                             CAST(CAST(c1 AS HUGEINT) * 4294967296
+                                  + CAST(c2 AS HUGEINT) AS UBIGINT) AS h64
+                      FROM crcs)"""
+
+
+def _near_dedup_oracle() -> str:
+    """near_dedup_docs mirror: the ENGINE runs shingle -> MinHash-LSH ->
+    exact word-3-gram-Jaccard verify (>= 0.8) -> transitive min-label
+    closure; the oracle computes the same semantic answer hash-free — ALL
+    doc pairs at word-3-gram Jaccard >= 0.8 (token-count-salted grams,
+    short-row fallback gram, zero-token docs excluded from pairing — the
+    ``_word_gram_sets`` / ``_doc_keys_batch`` contracts, ops/dedup.py) and
+    a recursive-CTE closure. LSH banding (64 perm / 16 bands) proposes
+    every >=0.8 pair on this corpus, so the outputs agree value-for-value;
+    a recall miss would fail the gate loudly."""
+    return r"""
+        WITH RECURSIVE
+        toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(
+                     lower(coalesce(text, '')), '[^\pL\pN_]+'),
+                     x -> x <> '') AS t
+          FROM documents
+        ),
+        gs AS (
+          SELECT DISTINCT doc_id,
+                 '3:' || t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] AS g
+          FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS r(i)
+          WHERE len(t) >= 3
+          UNION
+          SELECT DISTINCT doc_id,
+                 CAST(len(t) AS VARCHAR) || ':'
+                 || array_to_string(t, chr(31)) AS g
+          FROM toks WHERE len(t) < 3 AND len(t) > 0
+        ),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM gs x JOIN gs y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        edges AS (
+          SELECT a, b
+          FROM inter JOIN cnt ca ON ca.doc_id = a
+                     JOIN cnt cb ON cb.doc_id = b
+          WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8
+        ),
+        sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        reach AS (
+          SELECT doc_id AS s, doc_id AS d FROM documents
+          UNION
+          SELECT r.s, e.b AS d FROM reach r JOIN sym e ON e.a = r.d
+        )
+        SELECT s AS doc_id, MIN(d) AS canonical_doc_id FROM reach GROUP BY s
+    """
+
+
+def _simhash_oracle() -> str:
+    """simhash_docs mirror (ops/dedup.simhash_fingerprints bit-exact): per
+    token OCCURRENCE, every bit of hash64(token) votes +1/-1; fingerprint
+    bit q is set iff the vote sum is strictly positive; hex-rendered.
+    The unpackbits/packbits byte shuffle in the kernel is self-inverse, so
+    in VALUE terms fp bit q = majority(h64 bit q) exactly."""
+    return f"""
+        WITH RECURSIVE
+        {_token_hash_ctes()},
+        bits AS (SELECT unnest(generate_series(0, 63)) AS q),
+        votes AS (
+          SELECT o.doc_id, b.q,
+                 SUM(CASE WHEN (h.h64 >> CAST(b.q AS UBIGINT)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM occp o JOIN tok_h h ON h.tok = o.tok CROSS JOIN bits b
+          GROUP BY 1, 2
+        ),
+        fp AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN v > 0
+                               THEN CAST(power(CAST(2 AS HUGEINT), q)
+                                         AS HUGEINT)
+                               ELSE 0 END) AS UBIGINT) AS f
+          FROM votes GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               lpad(lower(hex(COALESCE(fp.f, CAST(0 AS UBIGINT)))), 16, '0')
+               AS simhash
+        FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+    """
+
+
+def _fingerprint_oracle(window: int = 8) -> str:
+    """doc_fingerprints mirror (ops/textstats.rolling_fingerprint
+    bit-exact): th = mix64(hash64(token)); full ``window``-token rolling
+    polynomial hashes mod 2^64 (P = 0x100000001B3), fingerprint = min of
+    mix64(window hash); docs shorter than the window hash their full token
+    span as the single w=1 window; empty docs fingerprint to 0."""
+    P = 0x100000001B3
+    pks = ",".join(f"({k},{pow(P, k, 1 << 64)})" for k in range(window))
+    return f"""
+        WITH RECURSIVE
+        {_token_hash_ctes()},
+        {_mix64_ctes("m1", "tok_h", ["tok"], "h64", "th", "thv")},
+        pks AS (SELECT k, CAST(p AS HUGEINT) AS p
+                FROM (VALUES {pks}) AS v(k, p)),
+        lens AS (SELECT doc_id, len(t) AS L FROM toks_arr),
+        terms AS (
+          SELECT o.doc_id, o.pos - pk.k AS w,
+                 {_mulmod64_cc("CAST(t.thv AS HUGEINT)", "pk.p")} AS term
+          FROM occp o JOIN th t ON t.tok = o.tok CROSS JOIN pks pk
+          WHERE o.pos - pk.k >= 1
+        ),
+        winh AS (
+          SELECT doc_id, w,
+                 CAST(SUM(CAST(term AS HUGEINT))
+                      % 18446744073709551616 AS UBIGINT) AS hv
+          FROM terms GROUP BY doc_id, w
+        ),
+        cand AS (
+          SELECT wh.doc_id, wh.hv
+          FROM winh wh JOIN lens l ON l.doc_id = wh.doc_id
+          WHERE (l.L >= {window} AND wh.w BETWEEN 1 AND l.L - {window - 1})
+             OR (l.L BETWEEN 1 AND {window - 1} AND wh.w = 1)
+        ),
+        {_mix64_ctes("m2", "cand", ["doc_id"], "hv", "mixedw", "mw")},
+        fp AS (SELECT doc_id, MIN(mw) AS f FROM mixedw GROUP BY doc_id)
+        SELECT d.doc_id,
+               lpad(lower(hex(COALESCE(fp.f, CAST(0 AS UBIGINT)))), 16, '0')
+               AS fingerprint
+        FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+    """
+
+
 def _mixture_oracle() -> str:
     """doc_mixture_sample SQL, thresholds quantized by the kernel's own
     frac_threshold() so both sides compare h against the identical uint64."""
@@ -734,6 +961,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
             FROM documents GROUP BY text
         """,
+        "near_dedup_docs": _near_dedup_oracle(),
+        "simhash_docs": _simhash_oracle(),
+        "doc_fingerprints": _fingerprint_oracle(),
         "order_priorities": """
             SELECT o_orderpriority,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
