@@ -1,6 +1,10 @@
 """Local replica of the driver's correctness gate: run every queries() entry
 and compare row-count / schema / order-insensitive values against oracle_sql()
-via DuckDB. Usage: python tools/check_oracle.py [sf_dir] [name ...]"""
+via DuckDB. Usage:
+    python tools/check_oracle.py [sf_dir] [name ...]
+    python tools/check_oracle.py --json OUT.json [sf_dir] [name ...]
+With --json, per-query results (rows/schema/hash match booleans, the
+driver's CORRECTNESS schema) are also written to OUT.json."""
 
 from __future__ import annotations
 
@@ -50,8 +54,14 @@ def main():
     sys.path.insert(0, ".")
     import __ray_entry__ as entry_mod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict = {}
 
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -70,19 +80,32 @@ def main():
             mine = _to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            results[name] = {"err": f"{type(e).__name__}: {e}"[:200]}
             failures += 1
             continue
         dt = time.time() - t0
         if name not in oq:
             print(f"ok   {name}: rows={len(mine)} (rows-only, {dt:.1f}s)")
+            results[name] = {"rows_only": True, "spark_rows": len(mine),
+                             "err": None, "sec": round(dt, 2)}
             continue
         try:
             oracle = con.execute(oq[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle raised {e}")
+            results[name] = {"err": f"oracle: {e}"[:200]}
             failures += 1
             continue
         a, b = _canon(mine), _canon(oracle)
+        rec = {
+            "rows_match": len(a) == len(b),
+            "schema_match": list(a.columns) == list(b.columns),
+            "hash_match": False,
+            "spark_rows": len(a),
+            "oracle_rows": len(b),
+            "err": None,
+            "sec": round(dt, 2),
+        }
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
             failures += 1
@@ -96,7 +119,15 @@ def main():
             print("oracle:\n", b[neq].head(3))
             failures += 1
         else:
+            rec["hash_match"] = True
             print(f"ok   {name}: rows={len(a)} MATCH ({dt:.1f}s)")
+        results[name] = rec
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} entries)")
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
