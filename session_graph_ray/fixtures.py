@@ -129,7 +129,8 @@ def _commit(rng: np.random.RandomState) -> str:
     return "".join("0123456789abcdef"[rng.randint(16)] for _ in range(40))
 
 
-SIZES = {"small": 600, "bench": 400000, "benchxl": 800000, "tiny": 60}
+SIZES = {"small": 600, "bench": 400000, "benchxl": 800000,
+         "benchxxl": 3000000, "tiny": 60}
 
 _FIXTURE_VERSION = "v3"  # bump on any change to generation or blocking keys
 

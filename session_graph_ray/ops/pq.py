@@ -104,11 +104,13 @@ def pq_train(
             flat = np.concatenate([sums.ravel(), counts.ravel()])
             return pa.table({"p": pa.array([flat.tobytes()], pa.binary())})
 
-        rows = ds.map_batches(partials, batch_format="pyarrow",
-                              batch_size=65536).take_all()
-        acc = np.zeros(m * k * dsub + m * k)
-        for r in rows:
-            acc += np.frombuffer(r["p"], dtype=np.float64)
+        from .similarity import _sum_partial_buffers
+
+        acc = _sum_partial_buffers(
+            ds.map_batches(partials, batch_format="pyarrow",
+                           batch_size=65536),
+            m * k * dsub + m * k,
+        )
         sums = acc[: m * k * dsub].reshape(m, k, dsub)
         counts = acc[m * k * dsub:].reshape(m, k)
         books = books.copy()

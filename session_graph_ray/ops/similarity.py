@@ -188,6 +188,38 @@ def sample_vectors_capped(
     return v
 
 
+def _sum_partial_buffers(rows: "ray.data.Dataset", acc_len: int,
+                         num_buckets: int = 32) -> np.ndarray:
+    """Sum per-block float64 partial buffers (binary column ``p``) with a
+    bucketed pre-reduce: blocks' partials land in <= ``num_buckets`` groups
+    (bucket = crc32 of the buffer head — deterministic, content-derived)
+    and are summed WORKER-side, so the driver gathers <= num_buckets rows
+    instead of one per block (at ~10^5 blocks per Lloyd round the raw
+    gather is GBs; the same growth class as the init-sample fix).
+    Note: float64 summation order differs from a flat driver-side loop by
+    the usual non-associativity ULPs — no consumer here is bit-pinned on
+    centroid values (recall/parity tests only)."""
+    import zlib
+
+    def bkt(t: pa.Table) -> pa.Table:
+        bs = [zlib.crc32(v[:64]) % num_buckets
+              for v in t.column("p").to_pylist()]
+        return t.append_column("__bkt", pa.array(bs, pa.int32()))
+
+    def ksum(g: pa.Table) -> pa.Table:
+        acc = np.zeros(acc_len)
+        for v in g.column("p").to_pylist():
+            acc += np.frombuffer(v, dtype=np.float64)
+        return pa.table({"p": pa.array([acc.tobytes()], pa.binary())})
+
+    out = np.zeros(acc_len)
+    reduced = (rows.map_batches(bkt, batch_format="pyarrow")
+               .groupby("__bkt").map_groups(ksum, batch_format="pyarrow"))
+    for r in reduced.take_all():
+        out += np.frombuffer(r["p"], dtype=np.float64)
+    return out
+
+
 def _farthest_point_centroids(sample: np.ndarray, c: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     first = rng.randint(len(sample))
@@ -240,11 +272,11 @@ def train_ivf_centroids(
             flat = np.concatenate([sums.ravel(), counts])
             return pa.table({"p": pa.array([flat.tobytes()], pa.binary())})
 
-        rows = ds.map_batches(partials, batch_format="pyarrow",
-                              batch_size=65536).take_all()
-        acc = np.zeros(n_centroids * d + n_centroids)
-        for r in rows:
-            acc += np.frombuffer(r["p"], dtype=np.float64)
+        acc = _sum_partial_buffers(
+            ds.map_batches(partials, batch_format="pyarrow",
+                           batch_size=65536),
+            n_centroids * d + n_centroids,
+        )
         sums = acc[: n_centroids * d].reshape(n_centroids, d)
         counts = acc[n_centroids * d:]
         nonzero = counts > 0
