@@ -521,6 +521,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_brand_revenue": A.q_discount_brand_revenue,
         "priority_order_counts": A.q_priority_order_counts,
         "waiting_suppliers": A.q_waiting_suppliers,
+        "min_cost_supplier": A.q_min_cost_supplier,
+        "important_parts": A.q_important_parts,
+        "promo_part_suppliers": A.q_promo_part_suppliers,
         "doc_bigram_lm": A.q_doc_bigram_lm,
         "doc_mixture_sample": A.q_doc_mixture_sample,
         "doc_triangles": A.q_doc_triangles,
@@ -2051,6 +2054,84 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s.s_name
             LIMIT 10
+        """,
+        # TPC-H Q2 shape: correlated-min-subquery supplier election over the
+        # lineitem-derived part-supplier cost relation (no partsupp table in
+        # the testdata; supplycost := min cents(l_extendedprice) per pair)
+        "min_cost_supplier": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                         AS supplycost_c
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), eu AS (
+              SELECT s_suppkey, s_name, n_name,
+                     CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ), cand AS (
+              SELECT p_partkey, p_type, s_suppkey, s_name, n_name,
+                     acctbal_c, supplycost_c
+              FROM ps JOIN part ON l_partkey = p_partkey
+              JOIN eu ON l_suppkey = s_suppkey
+              WHERE p_size BETWEEN 10 AND 25 AND p_type = 'LARGE'
+            ), best AS (
+              SELECT p_partkey AS bk, MIN(supplycost_c) AS best_c
+              FROM cand GROUP BY p_partkey
+            )
+            SELECT acctbal_c, s_name, n_name, p_partkey, p_type,
+                   supplycost_c
+            FROM cand JOIN best ON p_partkey = bk AND supplycost_c = best_c
+            ORDER BY acctbal_c DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        # TPC-H Q11 shape: per-part value by ASIA suppliers vs a
+        # global-fraction HAVING, exact integer cross-multiply
+        "important_parts": """
+            WITH nat AS (
+              SELECT s_suppkey
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+            ), val AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS value_c
+              FROM lineitem JOIN nat ON l_suppkey = s_suppkey
+              GROUP BY l_partkey
+            ), tot AS (SELECT SUM(value_c) AS total_c FROM val)
+            SELECT l_partkey, value_c FROM val, tot
+            WHERE value_c * 1000 > total_c
+            ORDER BY value_c DESC, l_partkey
+        """,
+        # TPC-H Q20 shape: AMERICA suppliers dominant (>half the 1996
+        # volume) on some PROMO part
+        "promo_part_suppliers": """
+            WITH promo AS (
+              SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+            ), q AS (
+              SELECT l_partkey, l_suppkey,
+                     SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                         AS qty_c
+              FROM lineitem JOIN promo ON l_partkey = p_partkey
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1997-01-01'
+              GROUP BY l_partkey, l_suppkey
+            ), ptot AS (
+              SELECT l_partkey AS pk, SUM(qty_c) AS tot_c
+              FROM q GROUP BY l_partkey
+            ), dom AS (
+              SELECT DISTINCT l_suppkey FROM q JOIN ptot ON l_partkey = pk
+              WHERE qty_c * 2 > tot_c
+            )
+            SELECT s_name,
+                   CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+            FROM dom JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'
+            ORDER BY s_name
         """,
         # corpus bigram LM scoring: counts + quantized-ln scores recomputed
         # on bigram STRINGS (guards the Ray side's 64-bit gram-hash identity)

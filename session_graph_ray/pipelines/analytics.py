@@ -3602,3 +3602,267 @@ def q_vocab_edit1_pairs(sf_dir: str) -> "rd.Dataset":
 
     return (out.map_batches(clean, batch_format="pyarrow")
             .sort(["token_a", "token_b"]))
+
+
+# ---- TPC-H Q2/Q11/Q20 shapes over the lineitem-derived part-supplier
+# relation (the testdata has no partsupp table; `ps` below is the exact
+# groupby-derived stand-in, computed identically in the DuckDB oracles).
+
+
+def q_min_cost_supplier(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q2 shape (correlated min subquery): for every LARGE part of
+    size 10-25, the EUROPE supplier(s) offering it at the global minimum
+    derived supply cost (min cents(l_extendedprice) per part x supplier).
+    Both dimension sets broadcast as sorted keysets INTO the fact-scan
+    partial, so non-qualifying rows never enter the exchange; the combine
+    kernel is one lexsort/reduceat per partkey bucket, and the correlated
+    "= min(cost) over the part" filter runs inside the SAME bucket kernel
+    (a bucket owns all rows of its partkeys after the exchange) — no
+    second shuffle, no driver-side min table."""
+    part = _rp(f"{sf_dir}/part.parquet",
+               columns=["p_partkey", "p_type", "p_size"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["p_type"], pa.scalar("LARGE")),
+                    pc.and_(pc.greater_equal(t["p_size"], pa.scalar(10)),
+                            pc.less_equal(t["p_size"], pa.scalar(25))))
+        return t.filter(m).select(["p_partkey", "p_type"])
+
+    pdim = part.map_batches(p_prep, batch_format="pyarrow",
+                            batch_size=65536).to_pandas()
+    pkeys = np.sort(pdim["p_partkey"].to_numpy(dtype=np.int64))
+
+    sup = _rp(f"{sf_dir}/supplier.parquet",
+              columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+              ).to_pandas()
+    nat = _rp(f"{sf_dir}/nation.parquet",
+              columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _rp(f"{sf_dir}/region.parquet").to_pandas()
+    eu_nk = nat.merge(reg[reg.r_name == "EUROPE"],
+                      left_on="n_regionkey", right_on="r_regionkey")
+    eu = sup.merge(eu_nk, left_on="s_nationkey", right_on="n_nationkey")
+    skeys = np.sort(eu["s_suppkey"].to_numpy(dtype=np.int64))
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    B = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (pkeys[np.searchsorted(pkeys, pk, side="left").clip(
+                    max=len(pkeys) - 1)] == pk if len(pkeys) else
+                np.zeros(len(pk), dtype=bool))
+        keep &= (skeys[np.searchsorted(skeys, sk, side="left").clip(
+                    max=len(skeys) - 1)] == sk if len(skeys) else False)
+        pk, sk = pk[keep], sk[keep]
+        cost = _cents(t["l_extendedprice"]).to_numpy(
+            zero_copy_only=False)[keep]
+        idx = np.lexsort((sk, pk))
+        pk, sk, cost = pk[idx], sk[idx], cost[idx]
+        new = np.empty(len(pk), dtype=bool)
+        new[:1] = True
+        new[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        seg = np.flatnonzero(new)
+        cmin = np.minimum.reduceat(cost, seg) if len(seg) else cost[:0]
+        pk, sk = pk[new], sk[new]
+        return pa.table({"pk": pa.array(pk), "sk": pa.array(sk),
+                         "cost": pa.array(cmin),
+                         "__bkt": pa.array((pk % B).astype(np.int32))})
+
+    def winners(g: pa.Table) -> pa.Table:
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        sk = g["sk"].to_numpy(zero_copy_only=False)
+        cost = g["cost"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((sk, pk))
+        pk, sk, cost = pk[idx], sk[idx], cost[idx]
+        new = np.empty(len(pk), dtype=bool)
+        new[:1] = True
+        new[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        seg = np.flatnonzero(new)
+        cost = (np.minimum.reduceat(cost, seg) if len(seg) else cost[:0])
+        pk, sk = pk[new], sk[new]
+        pnew = np.empty(len(pk), dtype=bool)
+        pnew[:1] = True
+        pnew[1:] = pk[1:] != pk[:-1]
+        # per-part min, broadcast back along the sorted runs
+        pseg = np.flatnonzero(pnew)
+        if not len(pseg):
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "s_suppkey": pa.array([], pa.int64()),
+                             "supplycost_c": pa.array([], pa.int64())})
+        best = np.minimum.reduceat(cost, pseg)
+        hit = cost == np.repeat(best, np.diff(np.append(pseg, len(pk))))
+        return pa.table({"p_partkey": pa.array(pk[hit], pa.int64()),
+                         "s_suppkey": pa.array(sk[hit], pa.int64()),
+                         "supplycost_c": pa.array(cost[hit], pa.int64())})
+
+    won = (li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("__bkt").map_groups(winners, batch_format="pyarrow"))
+    eu2 = eu[["s_suppkey", "s_name", "n_name"]].copy()
+    eu2["acctbal_c"] = np.floor(
+        eu["s_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+    out = broadcast_join(won, eu2, left_on="s_suppkey")
+    out = broadcast_join(out, pdim, left_on="p_partkey",
+                         right_on="p_partkey")
+    return (out.select_columns(["acctbal_c", "s_name", "n_name",
+                                "p_partkey", "p_type", "supplycost_c"])
+            .sort(["acctbal_c", "n_name", "s_name", "p_partkey"],
+                  descending=[True, False, False, False])
+            .limit(100))
+
+
+def q_important_parts(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q11 shape (grouped sum vs a global-fraction HAVING): per-part
+    lineitem value shipped by ASIA suppliers; keep parts whose value
+    exceeds 1/1000 of the regional total. The supplier keyset broadcasts
+    into the scan partial; the per-part sums reduce through one bucketed
+    exchange; the global total is ONE driver scalar aggregated from the
+    per-part table (O(|part|), never the fact table); and the HAVING is an
+    exact integer cross-multiply (value_c * 1000 > total_c) — no float
+    fraction on either side of the oracle."""
+    sup = _rp(f"{sf_dir}/supplier.parquet",
+              columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _rp(f"{sf_dir}/nation.parquet",
+              columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _rp(f"{sf_dir}/region.parquet").to_pandas()
+    asia_nk = nat.merge(reg[reg.r_name == "ASIA"],
+                        left_on="n_regionkey", right_on="r_regionkey")
+    skeys = np.sort(sup.merge(asia_nk, left_on="s_nationkey",
+                              right_on="n_nationkey")
+                    ["s_suppkey"].to_numpy(dtype=np.int64))
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    B = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (skeys[np.searchsorted(skeys, sk, side="left").clip(
+                    max=len(skeys) - 1)] == sk if len(skeys) else
+                np.zeros(len(sk), dtype=bool))
+        pk = t["l_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        v = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)[keep]
+        vals, inv = np.unique(pk, return_inverse=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, v)
+        return pa.table({"l_partkey": pa.array(vals, pa.int64()),
+                         "value_c": pa.array(sums),
+                         "__bkt": pa.array((vals % B).astype(np.int32))})
+
+    def combine(g: pa.Table) -> pa.Table:
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        v = g["value_c"].to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(pk, return_inverse=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, v)
+        return pa.table({"l_partkey": pa.array(vals, pa.int64()),
+                         "value_c": pa.array(sums)})
+
+    val = (li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("__bkt").map_groups(combine, batch_format="pyarrow")
+           .materialize())
+    tot = val.aggregate(Sum("value_c"))
+    total_c = int(tot["sum(value_c)"] or 0)
+
+    def having(t: pa.Table) -> pa.Table:
+        v = t["value_c"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v * 1000 > total_c))
+
+    return (val.map_batches(having, batch_format="pyarrow")
+            .sort(["value_c", "l_partkey"], descending=[True, False]))
+
+
+def q_promo_part_suppliers(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q20 shape (nested semi-joins into a supplier list): AMERICA
+    suppliers that were the DOMINANT 1996 shipper of some PROMO part
+    (their quantity > half that part's 1996 total — availqty has no
+    equivalent here, so dominance stands in for the excess-stock gate).
+    The promo partkey set is pruned BEFORE broadcast; per-(part,supplier)
+    quantity partials reduce through one partkey-bucketed exchange whose
+    kernel also resolves the per-part total and the 2*q > tot dominance
+    test in place (same-bucket colocation); the surviving suppkeys are a
+    tiny distinct set joined to the broadcast supplier dim."""
+    part = _rp(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["p_type"], pa.scalar("PROMO")))
+
+    pkeys = np.sort(part.map_batches(p_prep, batch_format="pyarrow",
+                                     batch_size=65536)
+                    .to_pandas()["p_partkey"].to_numpy(dtype=np.int64))
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    B = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        t = t.filter(m)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (pkeys[np.searchsorted(pkeys, pk, side="left").clip(
+                    max=len(pkeys) - 1)] == pk if len(pkeys) else
+                np.zeros(len(pk), dtype=bool))
+        pk = pk[keep]
+        sk = t["l_suppkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        q = _cents(t["l_quantity"]).to_numpy(zero_copy_only=False)[keep]
+        idx = np.lexsort((sk, pk))
+        pk, sk, q = pk[idx], sk[idx], q[idx]
+        new = np.empty(len(pk), dtype=bool)
+        new[:1] = True
+        new[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        seg = np.flatnonzero(new)
+        qs = np.add.reduceat(q, seg) if len(seg) else q[:0]
+        pk, sk = pk[new], sk[new]
+        return pa.table({"pk": pa.array(pk), "sk": pa.array(sk),
+                         "qty": pa.array(qs),
+                         "__bkt": pa.array((pk % B).astype(np.int32))})
+
+    def dominant(g: pa.Table) -> pa.Table:
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        sk = g["sk"].to_numpy(zero_copy_only=False)
+        q = g["qty"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((sk, pk))
+        pk, sk, q = pk[idx], sk[idx], q[idx]
+        new = np.empty(len(pk), dtype=bool)
+        new[:1] = True
+        new[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        seg = np.flatnonzero(new)
+        q = np.add.reduceat(q, seg) if len(seg) else q[:0]
+        pk, sk = pk[new], sk[new]
+        pnew = np.empty(len(pk), dtype=bool)
+        pnew[:1] = True
+        pnew[1:] = pk[1:] != pk[:-1]
+        pseg = np.flatnonzero(pnew)
+        if not len(pseg):
+            return pa.table({"s_suppkey": pa.array([], pa.int64())})
+        tot = np.add.reduceat(q, pseg)
+        hit = 2 * q > np.repeat(tot, np.diff(np.append(pseg, len(pk))))
+        return pa.table({"s_suppkey": pa.array(np.unique(sk[hit]),
+                                               pa.int64())})
+
+    dom = (li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("__bkt").map_groups(dominant, batch_format="pyarrow")
+           .groupby("s_suppkey").aggregate(Count(alias_name="__n"))
+           .select_columns(["s_suppkey"]))
+
+    sup = _rp(f"{sf_dir}/supplier.parquet",
+              columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+              ).to_pandas()
+    nat = _rp(f"{sf_dir}/nation.parquet",
+              columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _rp(f"{sf_dir}/region.parquet").to_pandas()
+    am_nk = nat.merge(reg[reg.r_name == "AMERICA"],
+                      left_on="n_regionkey", right_on="r_regionkey")
+    am = sup.merge(am_nk, left_on="s_nationkey", right_on="n_nationkey")
+    am2 = am[["s_suppkey", "s_name"]].copy()
+    am2["acctbal_c"] = np.floor(
+        am["s_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+    return (broadcast_join(dom, am2, left_on="s_suppkey")
+            .select_columns(["s_name", "acctbal_c"])
+            .sort("s_name"))
