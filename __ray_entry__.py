@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": A.q_min_cost_supplier,
         "important_parts": A.q_important_parts,
         "promo_part_suppliers": A.q_promo_part_suppliers,
+        "user_profiles": A.q_user_profiles,
         "doc_bigram_lm": A.q_doc_bigram_lm,
         "doc_mixture_sample": A.q_doc_mixture_sample,
         "doc_triangles": A.q_doc_triangles,
@@ -2132,6 +2133,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'AMERICA'
             ORDER BY s_name
+        """,
+        # golden-record survivorship per user: mode election replayed with
+        # the identical deterministic (count DESC, value ASC) tie-break
+        "user_profiles": """
+            WITH tc AS (
+              SELECT user_id, event_type, COUNT(*) AS c
+              FROM events GROUP BY user_id, event_type
+            ), fav AS (
+              SELECT user_id, event_type AS fav_type FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY c DESC, event_type) AS rn
+                FROM tc) WHERE rn = 1
+            ), agg AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+                     CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS max_value_c
+              FROM events GROUP BY user_id
+            )
+            SELECT a.user_id, a.n_events, a.first_seen, a.last_seen,
+                   f.fav_type, a.max_value_c
+            FROM agg a JOIN fav f USING (user_id)
+            ORDER BY a.user_id
         """,
         # corpus bigram LM scoring: counts + quantized-ln scores recomputed
         # on bigram STRINGS (guards the Ray side's 64-bit gram-hash identity)

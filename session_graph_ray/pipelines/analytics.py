@@ -3866,3 +3866,39 @@ def q_promo_part_suppliers(sf_dir: str) -> "rd.Dataset":
     return (broadcast_join(dom, am2, left_on="s_suppkey")
             .select_columns(["s_name", "acctbal_c"])
             .sort("s_name"))
+
+
+def q_user_profiles(sf_dir: str) -> "rd.Dataset":
+    """Golden-record survivorship (ops/survivorship.py) applied as entity
+    profile-building: one canonical row per user from their event stream —
+    count, first/last seen, deterministic favorite event type (mode with
+    the (count DESC, value ASC) tie-break; ties are REAL in this corpus),
+    and max value in integer cents. One bucketed exchange of projected
+    rows; the oracle replays the identical election with a window rank."""
+    from ..ops.survivorship import golden_records
+
+    ev = _rp(f"{sf_dir}/events.parquet",
+             columns=["user_id", "ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "event_type": t["event_type"],
+            "value_c": _cents(t["value"]),
+        })
+
+    g = golden_records(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        "user_id",
+        {
+            "n_events": "count:",
+            "first_seen": "min:ts",
+            "last_seen": "max:ts",
+            "fav_type": "mode:event_type",
+            "max_value_c": "max:value_c",
+        },
+    )
+    return g.select_columns(["user_id", "n_events", "first_seen",
+                             "last_seen", "fav_type", "max_value_c"]
+                            ).sort("user_id")
