@@ -58,7 +58,27 @@ def _q_er_assignments(sf_dir: str):
 
 
 def _q_er_match_edges(sf_dir: str):
-    return _er_result(sf_dir).edges.select_columns(["id_a", "id_b", "score"])
+    """Flagship match edges, score in exact integer micro-units
+    (``floor(score * 1e6 + 0.5)`` — the shared integer contract, so the
+    value-hash gate never compares raw floats). The underlying doubles are
+    bit-identical on both sides anyway: the engine's Jaro-Winkler and
+    Levenshtein kernels ARE DuckDB (stages/scoring.py), and the Jaccard +
+    blend arithmetic is replayed op-for-op in the oracle SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    def to_u6(t: pa.Table) -> pa.Table:
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "score_u6": pa.array(
+                np.floor(s * 1e6 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    return _er_result(sf_dir).edges.select_columns(
+        ["id_a", "id_b", "score"]
+    ).map_batches(to_u6, batch_format="pyarrow")
 
 
 def _q_er_link(sf_dir: str):
@@ -876,8 +896,401 @@ def _mixture_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Flagship-ER oracle: the full blocking -> scoring -> closure pipeline
+# replayed in DuckDB over the SAME fixture corpus the queries() entries run
+# on (er_match_edges / er_assignments stop being rows-only).
+# --------------------------------------------------------------------------
+
+
+def _crc64_ctes(prefix: str, src: str, col: str, out: str) -> str:
+    """DISTINCT strings of ``src.col`` -> ``{out}(s, h64)`` with
+    ``h64 = (crc32(s) << 32) | crc32(s + '#')`` — ``functions.hashing.
+    hash64_np`` replayed exactly (the parametrized twin of the hardwired
+    ``_token_hash_ctes`` fold; same ASCII byte contract). Requires the
+    ``crct(ci, cv)`` VALUES table in scope."""
+    return f"""
+        {prefix}dt AS (SELECT DISTINCT {col} AS s FROM {src}),
+        {prefix}fold AS (
+          SELECT s, 0 AS pos, CAST(4294967295 AS UBIGINT) AS crc
+          FROM {prefix}dt
+          UNION ALL
+          SELECT f.s, f.pos + 1, xor(ct.cv, f.crc >> 8) AS crc
+          FROM {prefix}fold f JOIN crct ct
+            ON ct.ci = CAST((xor(f.crc,
+                 CAST(ascii(substr(f.s, f.pos + 1, 1)) AS UBIGINT))
+                 & 255) AS INTEGER)
+          WHERE f.pos < length(f.s)
+        ),
+        {prefix}cs AS (SELECT s, crc FROM {prefix}fold WHERE pos = length(s)),
+        {prefix}c2 AS (
+          SELECT x.s,
+                 xor(x.crc, CAST(4294967295 AS UBIGINT)) AS c1,
+                 xor(xor(ct.cv, x.crc >> 8),
+                     CAST(4294967295 AS UBIGINT)) AS c2
+          FROM {prefix}cs x JOIN crct ct
+            ON ct.ci = CAST((xor(x.crc, CAST(35 AS UBIGINT)) & 255)
+                            AS INTEGER)
+        ),
+        {out} AS (SELECT s,
+                         CAST(CAST(c1 AS HUGEINT) * 4294967296
+                              + CAST(c2 AS HUGEINT) AS UBIGINT) AS h64
+                  FROM {prefix}c2)"""
+
+
+def _camelspace(expr: str) -> str:
+    """``functions.text._CAMEL_RE`` boundaries -> inserted spaces. RE2 has
+    no lookaround, but two global capture-replaces produce the identical
+    segmentation: every lower/digit->Upper and Upper->Upper+lower boundary
+    gets exactly one separator (left-to-right non-overlap matches the
+    zero-width split points one-for-one)."""
+    s = f"regexp_replace({expr}, '([a-z0-9])([A-Z])', '\\1 \\2', 'g')"
+    return f"regexp_replace({s}, '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g')"
+
+
+def _er_lang_norm(expr: str) -> str:
+    """functions.text.canonical_lang as a CASE ladder (closed alias map)."""
+    from session_graph_ray.functions.text import LANG_ALIASES
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in LANG_ALIASES.items())
+    return (f"CASE WHEN {expr} IS NULL OR {expr} = '' THEN 'unknown' "
+            f"ELSE (CASE trim(lower({expr})) {cases} "
+            f"ELSE trim(lower({expr})) END) END")
+
+
+def _er_stem_norm() -> str:
+    """normalize_stem(path_stem(path)): vendor prefixes stripped (looped ->
+    anchored + on the alternation), basename, last extension dropped unless
+    a dotfile, camel split, lowercase, non-alnum collapsed to single
+    spaces."""
+    from session_graph_ray.functions.text import VENDOR_PREFIXES
+
+    vendor_re = "^(" + "|".join(VENDOR_PREFIXES) + ")+"
+    p1 = f"regexp_replace(ltrim(path, '/'), '{vendor_re}', '')"
+    base = f"regexp_extract({p1}, '([^/]*)$', 1)"
+    stem_raw = (f"CASE WHEN strpos(substr({base}, 2), '.') > 0 "
+                f"THEN regexp_replace({base}, '\\.[^.]*$', '') "
+                f"ELSE {base} END")
+    return (f"trim(regexp_replace(lower({_camelspace(stem_raw)}), "
+            f"'[^a-z0-9]+', ' ', 'g'))")
+
+
+def _er_scorable() -> str:
+    """is_scorable_content: strip -> min 8 chars -> <=5% non-printables in
+    the first 256 (chars 0-8 and 14-31; Python's str.strip() whitespace set
+    matches the trim charset on this ASCII corpus)."""
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    cs = f"trim(coalesce(content, ''), {ws})"
+    return (f"(length({cs}) >= 8 AND CAST(length(regexp_extract_all("
+            f"substr({cs}, 1, 256), '[\\x00-\\x08\\x0E-\\x1F]')) AS DOUBLE)"
+            f" <= length(substr({cs}, 1, 256)) * 0.05)")
+
+
+def _er_corpus_sql() -> str:
+    """The fixture corpus (fixtures.ensure_corpus — the BASELINE.json input
+    shape) for the sf level under test. The oracle SQL is static but the
+    corpus is sf-dependent, so it reads BOTH size dirs and keeps the one the
+    registered ``events`` view selects (1k rows at sf0.001 -> tiny; every
+    larger sf -> small — exactly ``_er_result``'s size mapping).
+    ``oracle_sql()`` materializes both corpora up front."""
+    from session_graph_ray.fixtures import default_corpus_dir
+
+    tiny = default_corpus_dir("tiny")
+    small = default_corpus_dir("small")
+    return f"""
+          SELECT repo, path, "commit", lang, content
+          FROM read_parquet(['{tiny}/corpus/*.parquet',
+                             '{small}/corpus/*.parquet'], filename = true)
+          WHERE (filename LIKE '{tiny}/%') =
+                ((SELECT COUNT(*) FROM events) <= 5000)"""
+
+
+def _er_oracle_ctes() -> str:
+    """WITH-body (no leading ``WITH RECURSIVE``) ending at
+    ``er_edges(a, b, score)``, plus ``rn`` for the assignment closure.
+
+    Mechanism-exact mirror of the pipeline (the ``simhash_docs`` oracle
+    pattern, not the semantic ``near_dedup_docs`` one — a semantic
+    all-pairs oracle was tested and over-matches: 10 pairs at small score
+    >=0.70 without ever co-blocking):
+
+    - identity/sha: sha256 prefixes as UBIGINT (functions/hashing.py);
+    - FAM_EXACT: star over the 62-bit-masked sha-block min
+      (ops/pairing.py star route; stages/blocking._tag mask);
+    - FAM_STEM: crc64(lang || chr(31) || stem) & mask blocks;
+    - FAM_MH: content_tokens -> crc64 -> k=3 rolling-polynomial shingles ->
+      mix64 -> 64 multiply-shift permutations ((a*v + b) mod 2^64 >> 32,
+      constants embedded from MinHasher(64, 16, 42)) -> per-band weighted
+      fold + golden-ratio mix (functions/minhash.py), masked to 62 bits;
+    - fuzzy pairs exclude equal-sha (those ride the star), candidates are
+      the deduped union of the two fuzzy families;
+    - scoring: DuckDB jaro_winkler_similarity / levenshtein (the scorer's
+      OWN kernels, stages/scoring.py), exact token-set Jaccard over the
+      camel/underscore subtoken sets (sorted, cap 200 — the identifier_
+      tokens contract; distinct STRINGS stand in for distinct crc32s, and
+      the >=2-token early-exit at cap*2 is unreachable on this corpus:
+      divergence would fail the value-hash gate loudly), the lazy-
+      Levenshtein upper-bound gate, and the exact float blend
+      (w/denom literals embedded as their repr) — reference confidence
+      gate /root/reference/pipeline/link_entities.py:57.
+
+    Truncation contract: the fixture corpus produces zero chunked hot
+    blocks (dropped_cross_chunk_pairs == 0, asserted by the pipeline
+    metrics at both sizes), so the oracle needs no chunk semantics."""
+    from session_graph_ray.config import ERConfig
+    from session_graph_ray.functions.minhash import MinHasher
+
+    cfg = ERConfig()
+    mh = MinHasher(cfg.minhash_num_perm, cfg.minhash_bands, cfg.minhash_seed)
+    golden = 0x9E3779B97F4A7C15
+    m64 = 1 << 64
+    mask62 = "CAST(4611686018427387904 AS UBIGINT)"  # 2^62
+    perms = ",".join(
+        f"({i},{int(a)},{int(b)})"
+        for i, (a, b) in enumerate(zip(mh.a.tolist(), mh.b.tolist()))
+    )
+    bw = ",".join(f"({r},{int(w)})" for r, w in enumerate(mh.band_w.tolist()))
+    badd = ",".join(
+        f"({b},{((b + 1) * golden) % m64})" for b in range(mh.bands)
+    )
+    denom = repr(cfg.w_jw + cfg.w_tj + cfg.w_lev)
+    w_jw, w_tj, w_lev = repr(cfg.w_jw), repr(cfg.w_tj), repr(cfg.w_lev)
+    thr = repr(cfg.score_threshold)
+    ident = "repo || '|' || path || '|' || \"commit\""
+    mm = _mulmod64_cc  # (a*b) mod 2^64 on HUGEINT exprs
+    acc2 = ("CAST((CAST(" + mm("CAST(a.h64 AS HUGEINT)", "1000003")
+            + " AS HUGEINT) + CAST(b.h64 AS HUGEINT))"
+            " % 18446744073709551616 AS UBIGINT)")
+    acc3 = ("CAST((CAST("
+            + mm(f"CAST((CAST({mm('CAST(a.h64 AS HUGEINT)', '1000003')}"
+                 " AS HUGEINT) + CAST(b.h64 AS HUGEINT))"
+                 " % 18446744073709551616 AS HUGEINT)", "1000003")
+            + " AS HUGEINT) + CAST(c.h64 AS HUGEINT))"
+            " % 18446744073709551616 AS UBIGINT)")
+    return f"""
+        crct AS (SELECT ci, CAST(cv AS UBIGINT) AS cv
+                 FROM (VALUES {_crc32_values()}) AS v(ci, cv)),
+        corpus AS ({_er_corpus_sql()}),
+        rn AS MATERIALIZED (
+          SELECT
+            CAST(('0x' || substr(sha256({ident}), 1, 16)) AS UBIGINT) AS fid,
+            CAST(('0x' || substr(sha256(coalesce(content, '')), 1, 16))
+                 AS UBIGINT) AS sha,
+            {_er_lang_norm('lang')} AS lang_norm,
+            {_er_stem_norm()} AS stem_norm,
+            {_er_scorable()} AS scorable,
+            content
+          FROM corpus
+        ),
+        shag AS (
+          SELECT sha % {mask62} AS s62, MIN(fid) AS mn, COUNT(*) AS c
+          FROM rn WHERE scorable GROUP BY 1
+        ),
+        star AS (
+          SELECT g.mn AS a, r.fid AS b
+          FROM rn r JOIN shag g ON r.sha % {mask62} = g.s62
+          WHERE r.scorable AND g.c >= 2 AND r.fid <> g.mn
+        ),
+        stemrows AS (
+          SELECT fid, sha, lang_norm || chr(31) || stem_norm AS ks
+          FROM rn WHERE scorable AND stem_norm <> ''
+        ),
+        {_crc64_ctes('sk', 'stemrows', 'ks', 'skh')},
+        stemk AS (
+          SELECT s.fid, s.sha, h.h64 % {mask62} AS k62
+          FROM stemrows s JOIN skh h ON h.s = s.ks
+        ),
+        stem_pairs AS (
+          SELECT x.fid AS a, y.fid AS b
+          FROM stemk x JOIN stemk y
+            ON x.k62 = y.k62 AND x.fid < y.fid AND x.sha <> y.sha
+        ),
+        mhd AS (
+          SELECT fid, sha,
+                 list_slice(regexp_extract_all(lower(content),
+                            '[a-z_][a-z0-9_]*'), 1,
+                            {cfg.content_token_cap}) AS t
+          FROM rn WHERE scorable
+        ),
+        mocc AS (
+          SELECT fid, i AS pos, t[i] AS tok, len(t) AS n
+          FROM mhd, UNNEST(generate_series(1, len(t))) AS g(i)
+        ),
+        {_crc64_ctes('mt', 'mocc', 'tok', 'mth')},
+        mh AS (
+          SELECT o.fid, o.pos, o.n, CAST(h.h64 AS HUGEINT) AS h64
+          FROM mocc o JOIN mth h ON h.s = o.tok
+        ),
+        shall AS (
+          SELECT a.fid, {acc3} AS acc
+          FROM mh a JOIN mh b ON b.fid = a.fid AND b.pos = a.pos + 1
+                    JOIN mh c ON c.fid = a.fid AND c.pos = a.pos + 2
+          WHERE a.n >= 3
+          UNION ALL
+          SELECT a.fid, {acc2} AS acc
+          FROM mh a JOIN mh b ON b.fid = a.fid AND b.pos = 2
+          WHERE a.n = 2 AND a.pos = 1
+          UNION ALL
+          SELECT fid, CAST(h64 AS UBIGINT) AS acc FROM mh WHERE n = 1
+        ),
+        {_mix64_ctes('sv', 'shall', ['fid'], 'acc', 'shv', 'v')},
+        perms AS (SELECT pi, CAST(a AS HUGEINT) AS a, CAST(b AS HUGEINT) AS b
+                  FROM (VALUES {perms}) AS p(pi, a, b)),
+        hv AS (
+          SELECT s.fid, p.pi,
+                 CAST((CAST({mm('p.a', 'CAST(s.v AS HUGEINT)')}
+                       AS HUGEINT) + p.b) % 18446744073709551616
+                      AS UBIGINT) >> 32 AS h
+          FROM shv s CROSS JOIN perms p
+        ),
+        sig AS (SELECT fid, pi, MIN(h) AS sg FROM hv GROUP BY fid, pi),
+        bw AS (SELECT r, CAST(w AS HUGEINT) AS w
+               FROM (VALUES {bw}) AS v(r, w)),
+        badd AS (SELECT band, CAST(addc AS HUGEINT) AS addc
+                 FROM (VALUES {badd}) AS v(band, addc)),
+        bterm AS (
+          SELECT fid, pi // 4 AS band,
+                 {mm('CAST(sg AS HUGEINT)', 'w.w')} AS tm
+          FROM sig JOIN bw w ON w.r = pi % 4
+        ),
+        bfold AS (
+          SELECT fid, band,
+                 CAST(SUM(CAST(tm AS HUGEINT)) % 18446744073709551616
+                      AS UBIGINT) AS fv
+          FROM bterm GROUP BY fid, band
+        ),
+        keyraw AS (
+          SELECT f.fid,
+                 CAST((CAST(f.fv AS HUGEINT) + d.addc)
+                      % 18446744073709551616 AS UBIGINT) AS kv
+          FROM bfold f JOIN badd d ON d.band = f.band
+        ),
+        {_mix64_ctes('mk', 'keyraw', ['fid'], 'kv', 'mkeys', 'mk')},
+        bk AS (
+          SELECT m.fid, r.sha, m.mk % {mask62} AS k62
+          FROM mkeys m JOIN rn r ON r.fid = m.fid
+        ),
+        mh_pairs AS (
+          SELECT DISTINCT x.fid AS a, y.fid AS b
+          FROM bk x JOIN bk y
+            ON x.k62 = y.k62 AND x.fid < y.fid AND x.sha <> y.sha
+        ),
+        cand AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+                   SELECT a, b FROM stem_pairs
+                   UNION ALL SELECT a, b FROM mh_pairs) u),
+        irows AS (
+          SELECT DISTINCT fid, tok
+          FROM (SELECT fid, UNNEST(regexp_extract_all(content,
+                     '[A-Za-z_][A-Za-z0-9_]*')) AS tok
+                FROM rn WHERE scorable) u
+        ),
+        subs AS (
+          SELECT DISTINCT fid, s
+          FROM (SELECT fid, UNNEST(regexp_split_to_array(
+                     lower({_camelspace('tok')}), '[_ ]+')) AS s
+                FROM irows) u
+          WHERE length(s) >= 2
+        ),
+        subs200 AS MATERIALIZED (
+          SELECT fid, s FROM (
+            SELECT fid, s,
+                   row_number() OVER (PARTITION BY fid ORDER BY s) AS rk
+            FROM subs) q
+          WHERE rk <= 200
+        ),
+        tokcnt AS (SELECT fid, COUNT(*) AS nt FROM subs200 GROUP BY fid),
+        pinter AS (
+          SELECT c.a, c.b, COUNT(*) AS i
+          FROM cand c
+          JOIN subs200 x ON x.fid = c.a
+          JOIN subs200 y ON y.fid = c.b AND y.s = x.s
+          GROUP BY c.a, c.b
+        ),
+        fscore0 AS (
+          SELECT c.a, c.b,
+                 jaro_winkler_similarity(ra.stem_norm, rb.stem_norm) AS jw,
+                 CASE WHEN coalesce(ca.nt, 0) = 0 OR coalesce(cb.nt, 0) = 0
+                      THEN CAST(0 AS DOUBLE)
+                      ELSE CAST(coalesce(i.i, 0) AS DOUBLE)
+                           / CAST(ca.nt + cb.nt - coalesce(i.i, 0) AS DOUBLE)
+                 END AS tj,
+                 substr(ra.content, 1, 256) AS ta,
+                 substr(rb.content, 1, 256) AS tb
+          FROM cand c
+          JOIN rn ra ON ra.fid = c.a
+          JOIN rn rb ON rb.fid = c.b
+          LEFT JOIN tokcnt ca ON ca.fid = c.a
+          LEFT JOIN tokcnt cb ON cb.fid = c.b
+          LEFT JOIN pinter i ON i.a = c.a AND i.b = c.b
+        ),
+        fgate AS (
+          SELECT a, b, jw, tj,
+                 CAST(1.0 AS DOUBLE)
+                   - CAST(levenshtein(ta, tb) AS DOUBLE)
+                     / GREATEST(len(ta), len(tb), 1) AS lev
+          FROM fscore0
+          WHERE (CAST('{w_jw}' AS DOUBLE) * jw
+                 + CAST('{w_tj}' AS DOUBLE) * tj
+                 + CAST('{w_lev}' AS DOUBLE)) / CAST('{denom}' AS DOUBLE)
+                >= CAST('{thr}' AS DOUBLE)
+        ),
+        fuzzy AS (
+          SELECT a, b,
+                 (CAST('{w_jw}' AS DOUBLE) * jw
+                  + CAST('{w_tj}' AS DOUBLE) * tj
+                  + CAST('{w_lev}' AS DOUBLE) * lev)
+                 / CAST('{denom}' AS DOUBLE) AS score
+          FROM fgate
+        ),
+        er_edges AS MATERIALIZED (
+          SELECT a, b, CAST(1.0 AS DOUBLE) AS score FROM star
+          UNION ALL
+          SELECT a, b, score FROM fuzzy
+          WHERE score >= CAST('{thr}' AS DOUBLE)
+        )"""
+
+
+def _er_edges_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_er_oracle_ctes()}
+        SELECT a AS id_a, b AS id_b,
+               CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_u6
+        FROM er_edges
+    """
+
+
+def _er_assign_oracle() -> str:
+    """Transitive min-label closure over the match edges — every corpus row
+    (scorable or not) maps to its component minimum, singletons to
+    themselves (stages/clustering.assignments + assignments_hex: the hex id
+    IS the u64's %016x rendering, so MIN over u64 == MIN over the hex)."""
+    return f"""
+        WITH RECURSIVE {_er_oracle_ctes()},
+        sym AS (SELECT a, b FROM er_edges
+                UNION SELECT b AS a, a AS b FROM er_edges),
+        reach AS (
+          SELECT fid AS s, fid AS d FROM rn
+          UNION
+          SELECT r.s, e.b AS d FROM reach r JOIN sym e ON e.a = r.d
+        ),
+        canon AS (SELECT s, MIN(d) AS mn FROM reach GROUP BY s)
+        SELECT lower(lpad(hex(r.fid), 16, '0')) AS file_id,
+               lower(lpad(hex(c.mn), 16, '0')) AS canonical_file_id
+        FROM rn r JOIN canon c ON c.s = r.fid
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    # the ER oracle reads the fixture corpus from disk: materialize both
+    # size dirs up front (marker-cached; the queries() entries do the same)
+    from session_graph_ray.fixtures import ensure_corpus
+
+    ensure_corpus("tiny")
+    ensure_corpus("small")
     return {
+        "er_match_edges": _er_edges_oracle(),
+        "er_assignments": _er_assign_oracle(),
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM({_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_c,
