@@ -1291,6 +1291,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "er_match_edges": _er_edges_oracle(),
         "er_assignments": _er_assign_oracle(),
+        # incremental fold-ins are bit-equal to their from-scratch runs
+        # (pinned by tests/test_er_incremental.py and
+        # tests/test_near_dedup_incremental.py), so they share the same
+        # oracle: a divergence in the delta path now fails the value-hash
+        # gate, not just the pytest
+        "er_incremental": _er_assign_oracle(),
+        "near_dedup_incremental": _near_dedup_oracle(),
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM({_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_c,
