@@ -492,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_order": A.q_events_asof_order,
         "event_value_quantiles": A.q_event_value_quantiles,
         "doc_length_deciles": A.q_doc_length_deciles,
+        "snm_pairs": A.q_snm_pairs,
         "events_pivot": A.q_events_pivot,
         "events_in_order_windows": A.q_events_in_order_windows,
         "events_in_all_order_windows": A.q_events_in_all_order_windows,
@@ -1576,6 +1577,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(10) OVER (PARTITION BY lang
                         ORDER BY n_chars, doc_id) AS BIGINT) AS decile
             FROM documents
+        """,
+        "snm_pairs": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+              FROM documents
+            )
+            SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+                   CAST(y.rn - x.rn AS BIGINT) AS rank_dist
+            FROM r x JOIN r y ON y.rn > x.rn AND y.rn - x.rn < 10
         """,
         "events_pivot": f"""
             SELECT date_trunc('day', ts) AS day,

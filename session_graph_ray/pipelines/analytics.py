@@ -817,6 +817,21 @@ def q_doc_length_deciles(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def q_snm_pairs(sf_dir: str) -> "rd.Dataset":
+    """Sorted-neighborhood blocking over documents: every pair within a
+    rank window of 10 under ORDER BY (n_chars, doc_id) — the classic
+    windowed ER candidate generator (ops/snm.py; rank derivation is a
+    constant-size histogram reduce + one bounded exchange, never a full
+    sort materialization)."""
+    from ..ops.snm import snm_pairs
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return snm_pairs(
+        docs, order_col="n_chars", id_col="doc_id", window=10,
+        id_a="doc_id_a", id_b="doc_id_b", dist_col="rank_dist",
+    )
+
+
 def q_events_pivot(sf_dir: str) -> "rd.Dataset":
     """Long->wide pivot: per day, one summed-cents column per event type."""
     from ..ops.pivot import pivot_sum
