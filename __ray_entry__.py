@@ -493,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": A.q_event_value_quantiles,
         "doc_length_deciles": A.q_doc_length_deciles,
         "snm_pairs": A.q_snm_pairs,
+        "cluster_pairwise_eval": A.q_cluster_pairwise_eval,
         "events_pivot": A.q_events_pivot,
         "events_in_order_windows": A.q_events_in_order_windows,
         "events_in_all_order_windows": A.q_events_in_all_order_windows,
@@ -1577,6 +1578,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(10) OVER (PARTITION BY lang
                         ORDER BY n_chars, doc_id) AS BIGINT) AS decile
             FROM documents
+        """,
+        "cluster_pairwise_eval": f"""
+            WITH pred AS ({_near_dedup_oracle()}),
+            gold AS (SELECT doc_id,
+                            MIN(doc_id) OVER (PARTITION BY text) AS g
+                     FROM documents),
+            j AS (SELECT pred.canonical_doc_id AS p, gold.g AS g
+                  FROM pred JOIN gold ON gold.doc_id = pred.doc_id),
+            cells AS (SELECT p, g, COUNT(*) AS c FROM j GROUP BY p, g),
+            psz AS (SELECT p, SUM(c) AS np FROM cells GROUP BY p),
+            gsz AS (SELECT g, SUM(c) AS ng FROM cells GROUP BY g),
+            agg AS (SELECT
+                (SELECT COUNT(*) FROM j) AS n,
+                (SELECT COALESCE(SUM(c * (c - 1) // 2), 0) FROM cells) AS tp,
+                (SELECT COALESCE(SUM(np * (np - 1) // 2), 0) FROM psz) AS pp,
+                (SELECT COALESCE(SUM(ng * (ng - 1) // 2), 0) FROM gsz) AS gp),
+            m AS (SELECT n, tp, pp, gp, n * (n - 1) // 2 AS tot,
+                CASE WHEN pp = 0 THEN CAST(0 AS DOUBLE)
+                     ELSE CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) END AS prec,
+                CASE WHEN gp = 0 THEN CAST(0 AS DOUBLE)
+                     ELSE CAST(tp AS DOUBLE) / CAST(gp AS DOUBLE) END AS rec
+                FROM agg),
+            m2 AS (SELECT *,
+                CASE WHEN prec + rec > 0
+                     THEN (2.0 * prec) * rec / (prec + rec)
+                     ELSE CAST(0 AS DOUBLE) END AS f1,
+                CASE WHEN tot = 0 THEN CAST(0 AS DOUBLE)
+                     ELSE (CAST(pp AS DOUBLE) * CAST(gp AS DOUBLE))
+                          / CAST(tot AS DOUBLE) END AS expv
+                FROM m),
+            m3 AS (SELECT *,
+                0.5 * CAST(pp + gp AS DOUBLE) - expv AS den FROM m2)
+            SELECT CAST(n AS BIGINT) AS n_items,
+                   CAST(tp AS BIGINT) AS tp_pairs,
+                   CAST(pp AS BIGINT) AS pred_pairs,
+                   CAST(gp AS BIGINT) AS gold_pairs,
+                   CAST(floor(prec * 1000000 + 0.5) AS BIGINT) AS precision_u6,
+                   CAST(floor(rec * 1000000 + 0.5) AS BIGINT) AS recall_u6,
+                   CAST(floor(f1 * 1000000 + 0.5) AS BIGINT) AS f1_u6,
+                   CAST(floor(CASE WHEN den <> 0
+                                   THEN (CAST(tp AS DOUBLE) - expv) / den
+                                   ELSE CAST(0 AS DOUBLE) END
+                              * 1000000 + 0.5) AS BIGINT) AS ari_u6
+            FROM m3
         """,
         "snm_pairs": """
             WITH r AS (

@@ -832,6 +832,26 @@ def q_snm_pairs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def q_cluster_pairwise_eval(sf_dir: str) -> "rd.Dataset":
+    """Clustering-quality scorecard (ops/clustereval.py): the near-dedup
+    clustering of documents evaluated against exact-content groups as the
+    gold standard — pairwise precision/recall/F1 (the BASELINE.json
+    acceptance metric as an operator) plus Adjusted Rand, all derived from
+    exact contingency integers."""
+    from ..ops.clustereval import exact_assignments, pairwise_cluster_eval
+    from ..ops.dedup import near_dedup_assignments
+    from ..ops.join import hash_join
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pred = near_dedup_assignments(docs, threshold=0.8)
+    gold = exact_assignments(docs).map_batches(
+        lambda t: t.rename_columns(["doc_id", "gold"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(pred, gold, on="doc_id")
+    return pairwise_cluster_eval(joined, "canonical_doc_id", "gold")
+
+
 def q_events_pivot(sf_dir: str) -> "rd.Dataset":
     """Long->wide pivot: per day, one summed-cents column per event type."""
     from ..ops.pivot import pivot_sum
