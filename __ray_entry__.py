@@ -81,6 +81,42 @@ def _q_er_match_edges(sf_dir: str):
     ).map_batches(to_u6, batch_format="pyarrow")
 
 
+def _q_er_scores(sf_dir: str):
+    """Every scored candidate pair — matches AND cached negatives (the
+    reference caches negative lookups too, link_entities.py:283-329) —
+    with all four score components in exact integer micro-units."""
+    import numpy as np
+    import pyarrow as pa
+
+    def to_u6(t: pa.Table) -> pa.Table:
+        def u6(col):
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            return pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64),
+                            pa.int64())
+
+        return pa.table({
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "jw_u6": u6("jw"),
+            "tj_u6": u6("tj"),
+            "lev_u6": u6("lev_sim"),
+            "score_u6": u6("score"),
+        })
+
+    return _er_result(sf_dir).scores.select_columns(
+        ["id_a", "id_b", "jw", "tj", "lev_sim", "score"]
+    ).map_batches(to_u6, batch_format="pyarrow")
+
+
+def _q_fs_match_weights(sf_dir: str):
+    """Fellegi–Sunter EM over the flagship run's scored comparison vectors
+    (ops/fellegi.py): learned per-field m/u probabilities and log2
+    agreement/disagreement weights, in exact integer micro-units."""
+    from session_graph_ray.ops.fellegi import fs_match_weights
+
+    return fs_match_weights(_er_result(sf_dir).scores)
+
+
 def _q_er_link(sf_dir: str):
     """Two-table record linkage (pipelines/linkage.py): reference = the
     documents table mapped onto the corpus schema, dirty = every 3rd doc
@@ -577,6 +613,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": A.q_doc_split,
         "er_assignments": _q_er_assignments,
         "er_match_edges": _q_er_match_edges,
+        "er_scores": _q_er_scores,
+        "fs_match_weights": _q_fs_match_weights,
         "er_incremental": _q_er_incremental,
         "er_link_tables": _q_er_link,
         "near_dedup_docs": _q_near_dedup_docs,
@@ -1228,17 +1266,28 @@ def _er_oracle_ctes() -> str:
         ),
         fgate AS (
           SELECT a, b, jw, tj,
-                 CAST(1.0 AS DOUBLE)
-                   - CAST(levenshtein(ta, tb) AS DOUBLE)
-                     / GREATEST(len(ta), len(tb), 1) AS lev
+                 CASE WHEN (CAST('{w_jw}' AS DOUBLE) * jw
+                            + CAST('{w_tj}' AS DOUBLE) * tj
+                            + CAST('{w_lev}' AS DOUBLE))
+                           / CAST('{denom}' AS DOUBLE)
+                           >= CAST('{thr}' AS DOUBLE)
+                      THEN CAST(1.0 AS DOUBLE)
+                        - CAST(levenshtein(ta, tb) AS DOUBLE)
+                          / GREATEST(len(ta), len(tb), 1)
+                      ELSE CAST(1.0 AS DOUBLE)
+                 END AS lev
           FROM fscore0
-          WHERE (CAST('{w_jw}' AS DOUBLE) * jw
-                 + CAST('{w_tj}' AS DOUBLE) * tj
-                 + CAST('{w_lev}' AS DOUBLE)) / CAST('{denom}' AS DOUBLE)
-                >= CAST('{thr}' AS DOUBLE)
         ),
-        fuzzy AS (
-          SELECT a, b,
+        er_scores AS MATERIALIZED (
+          -- every scored pair, matches AND non-matches (the scorer caches
+          -- negatives too): lazily-skipped Levenshtein records lev = 1.0 so
+          -- the blend equals the scorer's stored upper bound exactly
+          -- (w_lev * 1.0 == w_lev in IEEE)
+          SELECT a, b, CAST(1.0 AS DOUBLE) AS jw, CAST(1.0 AS DOUBLE) AS tj,
+                 CAST(1.0 AS DOUBLE) AS lev, CAST(1.0 AS DOUBLE) AS score
+          FROM star
+          UNION ALL
+          SELECT a, b, jw, tj, lev,
                  (CAST('{w_jw}' AS DOUBLE) * jw
                   + CAST('{w_tj}' AS DOUBLE) * tj
                   + CAST('{w_lev}' AS DOUBLE) * lev)
@@ -1246,9 +1295,7 @@ def _er_oracle_ctes() -> str:
           FROM fgate
         ),
         er_edges AS MATERIALIZED (
-          SELECT a, b, CAST(1.0 AS DOUBLE) AS score FROM star
-          UNION ALL
-          SELECT a, b, score FROM fuzzy
+          SELECT a, b, score FROM er_scores
           WHERE score >= CAST('{thr}' AS DOUBLE)
         )"""
 
@@ -1260,6 +1307,132 @@ def _er_edges_oracle() -> str:
                CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_u6
         FROM er_edges
     """
+
+
+def _er_scores_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_er_oracle_ctes()}
+        SELECT a AS id_a, b AS id_b,
+               CAST(floor(jw * 1000000 + 0.5) AS BIGINT) AS jw_u6,
+               CAST(floor(tj * 1000000 + 0.5) AS BIGINT) AS tj_u6,
+               CAST(floor(lev * 1000000 + 0.5) AS BIGINT) AS lev_u6,
+               CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_u6
+        FROM er_scores
+    """
+
+
+def _fs_oracle() -> str:
+    """Fellegi–Sunter EM replayed bit-for-bit in SQL: the agreement-pattern
+    census comes from the ``er_scores`` CTE (exact integers), then the 30 EM
+    iterations unroll as MATERIALIZED one-row CTE layers whose expressions
+    replicate ops/fellegi.fs_em's pinned evaluation order exactly
+    (left-associated chains, ascending pattern/field index, identical
+    clamp constants embedded as reprs). MATERIALIZED is load-bearing:
+    inlined, the 30-deep expression tree re-expands per reference."""
+    from session_graph_ray.ops.fellegi import (
+        DEFAULT_FIELDS, EM_ITERS, M0, P0, U0, _EPS, _HI,
+    )
+
+    k = len(DEFAULT_FIELDS)
+    npat = 1 << k
+    eps, hi = repr(_EPS), repr(_HI)
+
+    def d(x) -> str:
+        return f"CAST('{repr(x)}' AS DOUBLE)"
+
+    one = "CAST(1.0 AS DOUBLE)"
+    # pattern id from the er_scores comparison vector
+    bits = " + ".join(
+        f"(CASE WHEN {col if col != 'lev_sim' else 'lev'} >= {d(thr)} "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, (_n, col, thr) in enumerate(DEFAULT_FIELDS)
+    )
+    csel = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN i = {i} THEN 1 END), 0) AS BIGINT)"
+        f" AS c{i}"
+        for i in range(npat)
+    )
+    carry_c = ", ".join(f"c{i}" for i in range(npat))
+    init_cols = ", ".join(
+        [f"{d(P0)} AS p"]
+        + [f"{d(M0)} AS m{f}" for f in range(k)]
+        + [f"{d(U0)} AS u{f}" for f in range(k)]
+    )
+    layers = [f"""
+        fspat AS (SELECT {bits} AS i FROM er_scores),
+        fscp AS MATERIALIZED (SELECT {csel}, CAST(COUNT(*) AS BIGINT) AS cn
+                              FROM fspat),
+        fsem0 AS MATERIALIZED (SELECT {init_cols}, {carry_c},
+                               CAST(cn AS DOUBLE) AS nf FROM fscp)"""]
+    carry_pm = ", ".join(
+        ["p"] + [f"m{f}" for f in range(k)] + [f"u{f}" for f in range(k)]
+    )
+    for it in range(EM_ITERS):
+        prev, w, gl, sl, nxt = (
+            f"fsem{it}", f"fsw{it}", f"fsg{it}", f"fss{it}", f"fsem{it + 1}"
+        )
+        wexprs = []
+        for i in range(npat):
+            wm = "p"
+            wu = f"({one} - p)"
+            for f in range(k):
+                tm = f"m{f}" if (i >> f) & 1 else f"({one} - m{f})"
+                tu = f"u{f}" if (i >> f) & 1 else f"({one} - u{f})"
+                wm = f"({wm} * {tm})"
+                wu = f"({wu} * {tu})"
+            wexprs.append(f"{wm} AS wm{i}, {wu} AS wu{i}")
+        layers.append(
+            f"{w} AS MATERIALIZED (SELECT {carry_pm}, {carry_c}, nf, "
+            + ", ".join(wexprs) + f" FROM {prev})"
+        )
+        gexprs = ", ".join(
+            f"(wm{i} / (wm{i} + wu{i})) AS g{i}" for i in range(npat)
+        )
+        layers.append(
+            f"{gl} AS MATERIALIZED (SELECT {carry_pm}, {carry_c}, nf, "
+            f"{gexprs} FROM {w})"
+        )
+        dm = " + ".join(f"(CAST(c{i} AS DOUBLE) * g{i})" for i in range(npat))
+        layers.append(
+            f"{sl} AS MATERIALIZED (SELECT {carry_pm}, {carry_c}, nf, "
+            + ", ".join(f"g{i}" for i in range(npat))
+            + f", ({dm}) AS dm FROM {gl})"
+        )
+        upd = [f"LEAST(GREATEST(dm / nf, {d(_EPS)}), {d(_HI)}) AS p"]
+        for f in range(k):
+            sm = " + ".join(
+                f"(CAST(c{i} AS DOUBLE) * g{i})"
+                for i in range(npat) if (i >> f) & 1
+            )
+            su = " + ".join(
+                f"(CAST(c{i} AS DOUBLE) * ({one} - g{i}))"
+                for i in range(npat) if (i >> f) & 1
+            )
+            upd.append(
+                f"LEAST(GREATEST(({sm}) / dm, {d(_EPS)}), {d(_HI)}) AS m{f}")
+            upd.append(
+                f"LEAST(GREATEST(({su}) / (nf - dm), {d(_EPS)}), {d(_HI)})"
+                f" AS u{f}")
+        layers.append(
+            f"{nxt} AS MATERIALIZED (SELECT " + ", ".join(upd)
+            + f", {carry_c}, nf FROM {sl})"
+        )
+    final = f"fsem{EM_ITERS}"
+    u6 = "CAST(floor({x} * 1000000 + 0.5) AS BIGINT)"
+    rows = []
+    for f, (name, _c, _t) in enumerate(DEFAULT_FIELDS):
+        agree = " + ".join(f"c{i}" for i in range(npat) if (i >> f) & 1)
+        rows.append(f"""
+            SELECT '{name}' AS field, CAST({agree} AS BIGINT) AS agree_pairs,
+                   {u6.format(x=f'm{f}')} AS m_u6,
+                   {u6.format(x=f'u{f}')} AS u_u6,
+                   {u6.format(x=f'log2(m{f} / u{f})')} AS w_agree_u6,
+                   {u6.format(x=f'log2(({one} - m{f}) / ({one} - u{f}))')}
+                     AS w_disagree_u6,
+                   {u6.format(x='p')} AS p_u6
+            FROM {final}""")
+    return (f"WITH RECURSIVE {_er_oracle_ctes()}, "
+            + ", ".join(layers) + " " + " UNION ALL ".join(rows))
 
 
 def _er_assign_oracle() -> str:
@@ -1292,7 +1465,9 @@ def oracle_sql() -> dict[str, str]:
     ensure_corpus("small")
     return {
         "er_match_edges": _er_edges_oracle(),
+        "er_scores": _er_scores_oracle(),
         "er_assignments": _er_assign_oracle(),
+        "fs_match_weights": _fs_oracle(),
         # incremental fold-ins are bit-equal to their from-scratch runs
         # (pinned by tests/test_er_incremental.py and
         # tests/test_near_dedup_incremental.py), so they share the same
