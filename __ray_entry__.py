@@ -121,9 +121,10 @@ def _q_er_link(sf_dir: str):
     """Two-table record linkage (pipelines/linkage.py): reference = the
     documents table mapped onto the corpus schema, dirty = every 3rd doc
     re-identified (new path) with alternating exact / lightly-perturbed
-    content. Rows-only check (Jaro-Winkler scoring is not SQL-expressible);
-    precision/recall against planted truth is pinned by
-    tests/test_linkage.py on the fixture corpus."""
+    content. Value-hash-checked against ``_er_link_oracle`` (the full
+    blocking/scoring mirror over the side-tagged union, best match per
+    dirty row); precision/recall against planted truth is additionally
+    pinned by tests/test_linkage.py on the fixture corpus."""
     import os
 
     import pyarrow as pa
@@ -164,7 +165,20 @@ def _q_er_link(sf_dir: str):
     ref_p, dirty_p = f"{base}/ref.parquet", f"{base}/dirty.parquet"
     pq.write_table(ref_t, ref_p)
     pq.write_table(dirty_t, dirty_p)
-    return run_er_link(ref_p, dirty_p).sort("dirty_file_id")
+    out = run_er_link(ref_p, dirty_p).sort("dirty_file_id")
+
+    import numpy as np
+
+    def to_u6(t: pa.Table) -> pa.Table:
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dirty_file_id": t.column("dirty_file_id"),
+            "ref_file_id": t.column("ref_file_id"),
+            "score_u6": pa.array(np.floor(s * 1e6 + 0.5).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    return out.map_batches(to_u6, batch_format="pyarrow")
 
 
 def _q_er_incremental(sf_dir: str):
@@ -1046,9 +1060,15 @@ def _er_corpus_sql() -> str:
                 ((SELECT COUNT(*) FROM events) <= 5000)"""
 
 
-def _er_oracle_ctes() -> str:
+def _er_oracle_ctes(corpus_sql: str | None = None,
+                    tagged: bool = False) -> str:
     """WITH-body (no leading ``WITH RECURSIVE``) ending at
     ``er_edges(a, b, score)``, plus ``rn`` for the assignment closure.
+
+    ``corpus_sql`` overrides the fixture corpus (it must yield
+    repo/path/commit/lang/content, plus ``side`` 0|1 when ``tagged``);
+    ``tagged`` overwrites the id top bit with the side — the two-table
+    linkage identity scheme (pipelines/linkage._tag_u64).
 
     Mechanism-exact mirror of the pipeline (the ``simhash_docs`` oracle
     pattern, not the semantic ``near_dedup_docs`` one — a semantic
@@ -1098,6 +1118,16 @@ def _er_oracle_ctes() -> str:
     w_jw, w_tj, w_lev = repr(cfg.w_jw), repr(cfg.w_tj), repr(cfg.w_lev)
     thr = repr(cfg.score_threshold)
     ident = "repo || '|' || path || '|' || \"commit\""
+    raw_fid = f"CAST(('0x' || substr(sha256({ident}), 1, 16)) AS UBIGINT)"
+    if tagged:
+        # pipelines/linkage._tag_u64: overwrite the id top bit with side
+        top = "CAST('9223372036854775808' AS UBIGINT)"  # 2^63
+        fid_expr = (f"({raw_fid} % {top}) + (CASE WHEN side = 1 THEN {top} "
+                    f"ELSE CAST(0 AS UBIGINT) END)")
+    else:
+        fid_expr = raw_fid
+    if corpus_sql is None:
+        corpus_sql = _er_corpus_sql()
     mm = _mulmod64_cc  # (a*b) mod 2^64 on HUGEINT exprs
     acc2 = ("CAST((CAST(" + mm("CAST(a.h64 AS HUGEINT)", "1000003")
             + " AS HUGEINT) + CAST(b.h64 AS HUGEINT))"
@@ -1111,10 +1141,11 @@ def _er_oracle_ctes() -> str:
     return f"""
         crct AS (SELECT ci, CAST(cv AS UBIGINT) AS cv
                  FROM (VALUES {_crc32_values()}) AS v(ci, cv)),
-        corpus AS ({_er_corpus_sql()}),
+        corpus AS ({corpus_sql}),
         rn AS MATERIALIZED (
           SELECT
-            CAST(('0x' || substr(sha256({ident}), 1, 16)) AS UBIGINT) AS fid,
+            {fid_expr} AS fid,
+            substr(sha256({ident}), 1, 16) AS hexid,
             CAST(('0x' || substr(sha256(coalesce(content, '')), 1, 16))
                  AS UBIGINT) AS sha,
             {_er_lang_norm('lang')} AS lang_norm,
@@ -1321,6 +1352,63 @@ def _er_scores_oracle() -> str:
     """
 
 
+def _er_link_oracle() -> str:
+    """Two-table linkage mirror (pipelines/linkage.py): the ref/dirty
+    corpora are re-derived from the ``documents`` view with the exact
+    transformations ``_q_er_link`` applies (every 3rd doc re-identified,
+    alternating exact / ' revised edition'-perturbed content), the union
+    rides the SAME blocking/scoring CTEs with side-tagged ids, within-side
+    pairs drop before best-match, and each dirty row keeps its best
+    reference (score desc, ref id asc) at/above the threshold — the
+    associative argmax of linkage._best_ref_per_dirty."""
+    from session_graph_ray.config import ERConfig
+
+    thr = repr(ERConfig().score_threshold)
+    corpus = """
+          SELECT source AS repo,
+                 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                 '00000000' AS "commit", lang,
+                 CAST(text AS VARCHAR) AS content, 0 AS side
+          FROM documents
+          UNION ALL
+          SELECT source,
+                 'doc_' || CAST(doc_id AS VARCHAR) || '_incoming.txt',
+                 '00000000', lang,
+                 CASE WHEN doc_id % 2 = 0 THEN CAST(text AS VARCHAR)
+                      ELSE CAST(text AS VARCHAR) || ' ' || ' revised edition'
+                 END,
+                 1 AS side
+          FROM documents WHERE doc_id % 3 = 0"""
+    top = "CAST('9223372036854775808' AS UBIGINT)"
+    return f"""
+        WITH RECURSIVE {_er_oracle_ctes(corpus_sql=corpus, tagged=True)},
+        cross_s AS (
+          SELECT a, b, score FROM er_scores
+          WHERE (a >= {top}) <> (b >= {top})
+            AND score >= CAST('{thr}' AS DOUBLE)
+        ),
+        oriented AS (
+          SELECT CASE WHEN a >= {top} THEN a ELSE b END AS dirty_u64,
+                 CASE WHEN a >= {top} THEN b ELSE a END AS ref_u64,
+                 score
+          FROM cross_s
+        ),
+        best AS (
+          SELECT dirty_u64, ref_u64, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY dirty_u64
+                ORDER BY score DESC, ref_u64 ASC) AS rk
+            FROM oriented) q
+          WHERE rk = 1
+        )
+        SELECT rd.hexid AS dirty_file_id, rr.hexid AS ref_file_id,
+               CAST(floor(b.score * 1000000 + 0.5) AS BIGINT) AS score_u6
+        FROM best b
+        JOIN rn rd ON rd.fid = b.dirty_u64
+        JOIN rn rr ON rr.fid = b.ref_u64
+    """
+
+
 def _fs_oracle() -> str:
     """Fellegi–Sunter EM replayed bit-for-bit in SQL: the agreement-pattern
     census comes from the ``er_scores`` CTE (exact integers), then the 30 EM
@@ -1467,6 +1555,7 @@ def oracle_sql() -> dict[str, str]:
         "er_match_edges": _er_edges_oracle(),
         "er_scores": _er_scores_oracle(),
         "er_assignments": _er_assign_oracle(),
+        "er_link_tables": _er_link_oracle(),
         "fs_match_weights": _fs_oracle(),
         # incremental fold-ins are bit-equal to their from-scratch runs
         # (pinned by tests/test_er_incremental.py and
