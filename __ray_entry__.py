@@ -544,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_deciles": A.q_doc_length_deciles,
         "snm_pairs": A.q_snm_pairs,
         "cluster_pairwise_eval": A.q_cluster_pairwise_eval,
+        "tfidf_cosine_pairs": A.q_tfidf_cosine_pairs,
         "events_pivot": A.q_events_pivot,
         "events_in_order_windows": A.q_events_in_order_windows,
         "events_in_all_order_windows": A.q_events_in_all_order_windows,
@@ -1842,6 +1843,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(10) OVER (PARTITION BY lang
                         ORDER BY n_chars, doc_id) AS BIGINT) AS decile
             FROM documents
+        """,
+        "tfidf_cosine_pairs": f"""
+            WITH RECURSIVE
+            {_token_hash_ctes()},
+            dtok AS (SELECT DISTINCT o.doc_id AS id, h.h64
+                     FROM occp o JOIN tok_h h ON h.tok = o.tok),
+            nn AS (SELECT COUNT(*) AS nd FROM documents),
+            dfq AS (SELECT h64, COUNT(*) AS df FROM dtok GROUP BY h64),
+            w AS (SELECT h64, df,
+                         CAST(floor((ln((CAST(1.0 AS DOUBLE)
+                                + CAST((SELECT nd FROM nn) AS DOUBLE))
+                              / (CAST(1.0 AS DOUBLE) + CAST(df AS DOUBLE)))
+                              + CAST(1.0 AS DOUBLE)) * 1000000 + 0.5)
+                              AS BIGINT) AS wq
+                  FROM dfq),
+            tw AS (SELECT d.id, d.h64, w.wq FROM dtok d JOIN w USING (h64)),
+            nrm AS (SELECT id, SUM(wq * wq) AS nsq FROM tw GROUP BY id),
+            rare AS (SELECT h64 FROM w WHERE df BETWEEN 2 AND 25),
+            cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+                     FROM dtok x JOIN rare r ON r.h64 = x.h64
+                     JOIN dtok y ON y.h64 = x.h64 AND x.id < y.id),
+            num AS (SELECT c.a, c.b, SUM(tx.wq * tx.wq) AS num
+                    FROM cand c
+                    JOIN tw tx ON tx.id = c.a
+                    JOIN dtok ty ON ty.id = c.b AND ty.h64 = tx.h64
+                    GROUP BY c.a, c.b),
+            sc AS (SELECT a, b,
+                          CAST(num AS DOUBLE)
+                          / sqrt(CAST(na.nsq AS DOUBLE))
+                          / sqrt(CAST(nb.nsq AS DOUBLE)) AS cos
+                   FROM num JOIN nrm na ON na.id = a
+                            JOIN nrm nb ON nb.id = b)
+            SELECT a AS doc_id_a, b AS doc_id_b,
+                   CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_u6
+            FROM sc WHERE cos >= CAST('0.3' AS DOUBLE)
         """,
         "cluster_pairwise_eval": f"""
             WITH pred AS ({_near_dedup_oracle()}),

@@ -832,6 +832,16 @@ def q_snm_pairs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def q_tfidf_cosine_pairs(sf_dir: str) -> "rd.Dataset":
+    """TF-IDF cosine candidate pairs over documents (ops/tfidf.py):
+    rare-token blocking (2 <= df <= 25) then exact quantized-idf cosine
+    >= 0.3 — all dot products integer-exact, no float reduction order."""
+    from ..ops.tfidf import tfidf_cosine_pairs
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_cosine_pairs(docs, df_cap=25, threshold=0.3)
+
+
 def q_cluster_pairwise_eval(sf_dir: str) -> "rd.Dataset":
     """Clustering-quality scorecard (ops/clustereval.py): the near-dedup
     clustering of documents evaluated against exact-content groups as the
