@@ -117,6 +117,14 @@ def _q_fs_match_weights(sf_dir: str):
     return fs_match_weights(_er_result(sf_dir).scores)
 
 
+def _q_fs_posteriors(sf_dir: str):
+    """Per-agreement-pattern posterior match probability under the learned
+    Fellegi–Sunter parameters — the model's decision rule surface."""
+    from session_graph_ray.ops.fellegi import fs_pattern_posteriors
+
+    return fs_pattern_posteriors(_er_result(sf_dir).scores)
+
+
 def _q_er_link(sf_dir: str):
     """Two-table record linkage (pipelines/linkage.py): reference = the
     documents table mapped onto the corpus schema, dirty = every 3rd doc
@@ -630,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_match_edges": _q_er_match_edges,
         "er_scores": _q_er_scores,
         "fs_match_weights": _q_fs_match_weights,
+        "fs_pattern_posteriors": _q_fs_posteriors,
         "er_incremental": _q_er_incremental,
         "er_link_tables": _q_er_link,
         "near_dedup_docs": _q_near_dedup_docs,
@@ -1410,14 +1419,15 @@ def _er_link_oracle() -> str:
     """
 
 
-def _fs_oracle() -> str:
-    """Fellegi–Sunter EM replayed bit-for-bit in SQL: the agreement-pattern
-    census comes from the ``er_scores`` CTE (exact integers), then the 30 EM
+def _fs_em_chain() -> tuple:
+    """Shared Fellegi–Sunter EM CTE chain: the agreement-pattern census
+    comes from the ``er_scores`` CTE (exact integers), then the 30 EM
     iterations unroll as MATERIALIZED one-row CTE layers whose expressions
     replicate ops/fellegi.fs_em's pinned evaluation order exactly
     (left-associated chains, ascending pattern/field index, identical
     clamp constants embedded as reprs). MATERIALIZED is load-bearing:
-    inlined, the 30-deep expression tree re-expands per reference."""
+    inlined, the 30-deep expression tree re-expands per reference.
+    Returns (layers, final_cte_name, npat, one_literal, fields)."""
     from session_graph_ray.ops.fellegi import (
         DEFAULT_FIELDS, EM_ITERS, M0, P0, U0, _EPS, _HI,
     )
@@ -1506,10 +1516,17 @@ def _fs_oracle() -> str:
             f"{nxt} AS MATERIALIZED (SELECT " + ", ".join(upd)
             + f", {carry_c}, nf FROM {sl})"
         )
-    final = f"fsem{EM_ITERS}"
-    u6 = "CAST(floor({x} * 1000000 + 0.5) AS BIGINT)"
+    return layers, f"fsem{EM_ITERS}", npat, one, DEFAULT_FIELDS
+
+
+_U6_SQL = "CAST(floor({x} * 1000000 + 0.5) AS BIGINT)"
+
+
+def _fs_oracle() -> str:
+    layers, final, npat, one, fields = _fs_em_chain()
+    u6 = _U6_SQL
     rows = []
-    for f, (name, _c, _t) in enumerate(DEFAULT_FIELDS):
+    for f, (name, _c, _t) in enumerate(fields):
         agree = " + ".join(f"c{i}" for i in range(npat) if (i >> f) & 1)
         rows.append(f"""
             SELECT '{name}' AS field, CAST({agree} AS BIGINT) AS agree_pairs,
@@ -1519,6 +1536,33 @@ def _fs_oracle() -> str:
                    {u6.format(x=f'log2(({one} - m{f}) / ({one} - u{f}))')}
                      AS w_disagree_u6,
                    {u6.format(x='p')} AS p_u6
+            FROM {final}""")
+    return (f"WITH RECURSIVE {_er_oracle_ctes()}, "
+            + ", ".join(layers) + " " + " UNION ALL ".join(rows))
+
+
+def _fs_posterior_oracle() -> str:
+    """ops/fellegi.fs_pattern_posteriors mirror: one extra E-step (same
+    wm/wu expression order) on the converged parameters, one output row
+    per agreement pattern."""
+    from session_graph_ray.ops.fellegi import DEFAULT_FIELDS
+
+    layers, final, npat, one, fields = _fs_em_chain()
+    k = len(fields)
+    rows = []
+    for i in range(npat):
+        wm = "p"
+        wu = f"({one} - p)"
+        for f in range(k):
+            tm = f"m{f}" if (i >> f) & 1 else f"({one} - m{f})"
+            tu = f"u{f}" if (i >> f) & 1 else f"({one} - u{f})"
+            wm = f"({wm} * {tm})"
+            wu = f"({wu} * {tu})"
+        post = _U6_SQL.format(x=f"{wm} / ({wm} + {wu})")
+        rows.append(f"""
+            SELECT CAST({i} AS BIGINT) AS pattern,
+                   CAST(c{i} AS BIGINT) AS n_pairs,
+                   {post} AS posterior_u6
             FROM {final}""")
     return (f"WITH RECURSIVE {_er_oracle_ctes()}, "
             + ", ".join(layers) + " " + " UNION ALL ".join(rows))
@@ -1558,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
         "er_assignments": _er_assign_oracle(),
         "er_link_tables": _er_link_oracle(),
         "fs_match_weights": _fs_oracle(),
+        "fs_pattern_posteriors": _fs_posterior_oracle(),
         # incremental fold-ins are bit-equal to their from-scratch runs
         # (pinned by tests/test_er_incremental.py and
         # tests/test_near_dedup_incremental.py), so they share the same

@@ -147,5 +147,45 @@ def fs_match_weights(
     )
 
 
+def fs_pattern_posteriors(
+    scores: "ray.data.Dataset",
+    fields=DEFAULT_FIELDS,
+    n_iter: int = EM_ITERS,
+) -> "ray.data.Dataset":
+    """One row per agreement pattern: its exact pair count and the
+    posterior match probability P(match | pattern) under the EM-learned
+    parameters (one extra E-step in the same pinned evaluation order) —
+    the decision side of Fellegi–Sunter: thresholding this posterior IS
+    the optimal linkage rule for given error bounds."""
+    k = len(fields)
+    npat = 1 << k
+    counts = fs_pattern_counts(scores, fields)
+    p, m, u = fs_em(counts, k, n_iter)
+
+    pats, ns, posts = [], [], []
+    for i in range(npat):
+        wm = p
+        wu = 1.0 - p
+        for f in range(k):
+            if (i >> f) & 1:
+                wm = wm * m[f]
+                wu = wu * u[f]
+            else:
+                wm = wm * (1.0 - m[f])
+                wu = wu * (1.0 - u[f])
+        pats.append(i)
+        ns.append(int(counts[i]))
+        posts.append(int(math.floor(wm / (wm + wu) * 1000000 + 0.5)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pattern": pa.array(pats, pa.int64()),
+                "n_pairs": pa.array(ns, pa.int64()),
+                "posterior_u6": pa.array(posts, pa.int64()),
+            }
+        )
+    )
+
+
 __all__ = ["fs_pattern_counts", "fs_em", "fs_match_weights",
-           "DEFAULT_FIELDS", "EM_ITERS"]
+           "fs_pattern_posteriors", "DEFAULT_FIELDS", "EM_ITERS"]
