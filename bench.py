@@ -342,7 +342,46 @@ def run_scaling_distribution(n_draws: int) -> dict:
     }
 
 
+def run_xxl() -> dict:
+    """The larger-scale ER draw (VERDICT r3 #9): one from-scratch headline
+    run over the benchxxl corpus (~5.9M rows / ~85M candidate pairs) at the
+    full CPU budget. One rep — the corpus is 15x the bench one and the
+    point is the throughput trend, not a min-of-N noise floor."""
+    import ray
+
+    from session_graph_ray.config import ERConfig
+    from session_graph_ray.fixtures import ensure_corpus
+    from session_graph_ray.pipelines.er import run_er_pipeline
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    corpus_dir = ensure_corpus("benchxxl")
+    _init_ray(num_cpus)
+    cfg = ERConfig().scaled(num_cpus)
+    t0 = time.time()
+    res = run_er_pipeline(f"{corpus_dir}/corpus", cfg)
+    n_pairs = res.pairs.count()
+    n_rows = res.assignments.count()
+    n_edges = res.edges.count()
+    dt = time.time() - t0
+    return {
+        "metric": "er_benchxxl_pairs_per_sec",
+        "value": round(n_pairs / dt, 1),
+        "unit": "pairs/sec",
+        "wall_sec": round(dt, 1),
+        "rows": n_rows,
+        "candidate_pairs": n_pairs,
+        "match_edges": n_edges,
+        "num_cpus": num_cpus,
+    }
+
+
 def main():
+    if "--xxl" in sys.argv:
+        print(json.dumps(run_xxl()))
+        import ray
+
+        ray.shutdown()
+        return
     if "--scaling-dist" in sys.argv:
         n = int(os.environ.get("GRAFT_SCALING_DRAWS", "5"))
         print(json.dumps(run_scaling_distribution(n)))

@@ -52,11 +52,15 @@ class ERConfig:
     score_threshold: float = 0.70
 
     # scorer feature access: at or below this many feature rows the scorer
-    # actor pool holds the whole (compact) feature table zero-copy from the
-    # object store with a hash index built once per actor — no enrichment
+    # actor pool memory-maps the whole consolidated feature spill (one
+    # page-cache copy per node) with a searchsorted index — no enrichment
     # shuffle at all. Above it, features join in via the partitioned
-    # bucket_join path (the 10^12-row plan, where features exceed node RAM).
-    feature_broadcast_limit: int = 5_000_000
+    # two-phase bucket_join path (the 10^12-row plan, where features exceed
+    # node RAM). Size this to node RAM: a feature row is ~0.7 KB, so 20M
+    # rows ≈ 14 GB spill — comfortable on 128 GB nodes, and the measured
+    # cliff is steep (benchxxl, 5.9M rows / 85M pairs: 82 s mmap-indexed
+    # vs >90 min through the one-phase join — PERF.md round 4).
+    feature_broadcast_limit: int = 20_000_000
 
     # scratch dir for the consolidated-feature spill file the scorer actors
     # (re)load in __init__ — plain-path constructor args keep the actor pool

@@ -346,6 +346,113 @@ class IndexedPairScorer(PairScorer):
         return super().__call__(enriched)
 
 
+class LitePairScorer(PairScorer):
+    """Phase 1 of the two-phase join-path scorer: jw + token-Jaccard and
+    the lazy-Levenshtein upper bound from the COMPACT feature columns only
+    (stem + token hashes — no ``content_trunc``). Rows whose upper bound
+    can't reach the threshold are FINAL here (score = upper, lev = 1.0 —
+    the identical contract the one-phase scorer emits); only the survivors
+    ever have the heavy truncated-content column shipped to them (phase 2).
+    Output = the scores schema + a ``need`` flag splitting the two routes.
+
+    Why: on the >feature_broadcast_limit join path the enrichment shuffle
+    cost is payload-dominated, and ``content_trunc`` (2 x 256 chars) is
+    ~60% of it while only the small gated fraction of pairs ever uses it
+    (the in-batch lazy-lev gate, measured match rates ~10-25%)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: C901
+        if batch.num_rows == 0:
+            return _empty_lite()
+        cfg = self.cfg
+        n = batch.num_rows
+        sha_a = batch.column("sha_a").to_numpy(zero_copy_only=False)
+        sha_b = batch.column("sha_b").to_numpy(zero_copy_only=False)
+        exact = sha_a == sha_b
+
+        self.con.register("batch", batch.select(["stem_a", "stem_b"]))
+        jw = (
+            self.con.execute(
+                "SELECT jaro_winkler_similarity(stem_a, stem_b) AS jw FROM batch"
+            ).arrow().column("jw").to_numpy(zero_copy_only=False)
+        )
+        self.con.unregister("batch")
+        tj = self._token_jaccard(
+            batch.column("tokens_a"), batch.column("tokens_b")
+        )
+        extra_sum = np.zeros(n)  # two-phase path requires no extras (gated
+        # in score_pairs: registry extras may reference trunc columns)
+        upper = (cfg.w_jw * jw + cfg.w_tj * tj + extra_sum + cfg.w_lev) / self.denom
+        need = (~exact) & (upper >= cfg.score_threshold)
+        # final rows (identical to the one-phase lazy-reject contract)
+        lev = np.ones(n)
+        score = upper
+        jw_o = np.where(exact, 1.0, jw)
+        tj_o = np.where(exact, 1.0, tj)
+        lev_o = np.where(exact, 1.0, lev)
+        score_o = np.where(exact, 1.0, score)
+        return pa.table(
+            {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "block_key": batch.column("block_key"),
+                "jw": pa.array(jw_o, pa.float64()),
+                "tj": pa.array(tj_o, pa.float64()),
+                "lev_sim": pa.array(lev_o, pa.float64()),
+                "score": pa.array(score_o, pa.float64()),
+                "need": pa.array(need, pa.bool_()),
+            }
+        )
+
+
+def _empty_lite() -> pa.Table:
+    return pa.schema(
+        list(_scores_schema()) + [("need", pa.bool_())]
+    ).empty_table()
+
+
+class LevScorer:
+    """Phase 2: Levenshtein + the final blend for the gated pairs, with jw
+    and tj carried through the trunc joins as float64 columns — the blend
+    expression is the one-phase scorer's, so scores are bit-identical."""
+
+    def __init__(self, cfg: ERConfig):
+        import duckdb
+
+        self.cfg = cfg
+        self.con = duckdb.connect()
+        self.con.execute("SET threads TO 1")
+        self.denom = cfg.w_jw + cfg.w_tj + cfg.w_lev
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_scores()
+        cfg = self.cfg
+        jw = batch.column("jw").to_numpy(zero_copy_only=False)
+        tj = batch.column("tj").to_numpy(zero_copy_only=False)
+        self.con.register("sub", batch.select(["trunc_a", "trunc_b"]))
+        lev = (
+            self.con.execute(
+                "SELECT 1.0 - levenshtein(trunc_a, trunc_b)::DOUBLE"
+                " / GREATEST(len(trunc_a), len(trunc_b), 1) AS l FROM sub"
+            ).arrow().column("l").to_numpy(zero_copy_only=False)
+        )
+        self.con.unregister("sub")
+        extra_sum = np.zeros(batch.num_rows)
+        score = (cfg.w_jw * jw + cfg.w_tj * tj + extra_sum
+                 + cfg.w_lev * lev) / self.denom
+        return pa.table(
+            {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "block_key": batch.column("block_key"),
+                "jw": pa.array(jw, pa.float64()),
+                "tj": pa.array(tj, pa.float64()),
+                "lev_sim": pa.array(lev, pa.float64()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+
 def _rename_for_side(ds: "ray.data.Dataset", side: str) -> "ray.data.Dataset":
     from ..ops.join import rename_batches
 
@@ -379,6 +486,21 @@ def _pool_spec(cfg: ERConfig) -> tuple[int, int]:
     index build (measured: scores 66.8s at 8 CPUs) — while always leaving
     slots for the peer task ops at every level."""
     return (max(1, cfg.scorer_concurrency - 2), cfg.scorer_concurrency)
+
+
+def _join_pool_spec(cfg: ERConfig) -> tuple[int, int]:
+    """Scorer-pool (min, max) for the JOIN enrichment path.
+
+    Here the scorer actors sit DOWNSTREAM of a multi-stage shuffle
+    (bucket tagging -> sort-shuffle -> per-bucket acero merge), and the
+    near-full `_pool_spec` floor starves that shuffle of task slots:
+    measured at 32 CPUs / 4.6M pairs, the whole stage sat ~idle (workers
+    at ~1% CPU, 33+ tasks pending behind 30 floor actors). Join-path
+    scorer init is CHEAP (one DuckDB connect — no spill mmap / index
+    build), so the indexed path's ramp-cost argument for a high floor
+    does not apply: floor 1 lets the reservation-aware autoscaler grow
+    the pool as merged buckets actually arrive."""
+    return (1, cfg.scorer_concurrency)
 
 
 def consolidate_features_async(
@@ -482,42 +604,138 @@ def score_pairs(
         return exact_scored.union(fuzzy_scored)
 
     from ..ops.join import bucket_join
-
-    fa = _rename_for_side(feat, "a")
-    fb = _rename_for_side(feat, "b")
-
-    def _feat_schema(side: str) -> pa.Schema:
-        return pa.schema(
-            [(f"fid_{side}", pa.uint64()), (f"sha_{side}", pa.uint64()),
-             (f"stem_{side}", pa.string()), (f"tokens_{side}", pa.binary()),
-             (f"trunc_{side}", pa.string())]
-        )
+    from ..registry import scorer_extra_features
 
     pairs_schema = pa.schema(
         [("id_a", pa.uint64()), ("id_b", pa.uint64()), ("block_key", pa.uint64())]
     )
-    enriched = bucket_join(
+
+    def _feat_schema(side: str, with_trunc: bool) -> pa.Schema:
+        cols = [(f"fid_{side}", pa.uint64()), (f"sha_{side}", pa.uint64()),
+                (f"stem_{side}", pa.string()), (f"tokens_{side}", pa.binary())]
+        if with_trunc:
+            cols.append((f"trunc_{side}", pa.string()))
+        return pa.schema(cols)
+
+    if scorer_extra_features():
+        # registry extras may reference any feature column (incl. trunc):
+        # single-phase enrichment so the extra fns see the full batch
+        fa = _rename_for_side(feat, "a")
+        fb = _rename_for_side(feat, "b")
+        enriched = bucket_join(
+            bucket_join(
+                fuzzy_pairs.select_columns(["id_a", "id_b", "block_key"]),
+                fa, left_on="id_a", right_on="fid_a",
+                num_buckets=cfg.hash_buckets,
+                left_schema=pairs_schema,
+                right_schema=_feat_schema("a", True),
+            ),
+            fb, left_on="id_b", right_on="fid_b",
+            num_buckets=cfg.hash_buckets,
+            left_schema=pa.schema(list(pairs_schema)
+                                  + list(_feat_schema("a", True))),
+            right_schema=_feat_schema("b", True),
+        )
+        fuzzy_scored = enriched.map_batches(
+            PairScorer,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=cfg.pair_batch_size,
+            concurrency=_join_pool_spec(cfg),
+            num_cpus=1,
+        )
+        return exact_scored.union(fuzzy_scored)
+
+    # two-phase join path: the enrichment shuffle is payload-dominated and
+    # content_trunc (2 x 256 chars) is most of it, while only the gated
+    # fraction of pairs ever reaches the Levenshtein kernel. Phase 1 joins
+    # the COMPACT columns and finalizes every lazily-rejected pair; phase 2
+    # ships trunc only to the survivors. Bit-identical to the one-phase
+    # scorer (pinned by tests/test_join_scorer_path.py).
+    feat_lite = feat.select_columns(
+        ["file_id_u64", "sha_u64", "stem_norm", "tokens_bin"])
+    feat_trunc = feat.select_columns(["file_id_u64", "content_trunc"])
+
+    from ..ops.join import rename_batches
+
+    la = rename_batches(feat_lite, {
+        "file_id_u64": "fid_a", "sha_u64": "sha_a",
+        "stem_norm": "stem_a", "tokens_bin": "tokens_a"})
+    lb = rename_batches(feat_lite, {
+        "file_id_u64": "fid_b", "sha_u64": "sha_b",
+        "stem_norm": "stem_b", "tokens_bin": "tokens_b"})
+    lite = bucket_join(
         bucket_join(
             fuzzy_pairs.select_columns(["id_a", "id_b", "block_key"]),
-            fa, left_on="id_a", right_on="fid_a",
+            la, left_on="id_a", right_on="fid_a",
             num_buckets=cfg.hash_buckets,
-            left_schema=pairs_schema, right_schema=_feat_schema("a"),
+            left_schema=pairs_schema, right_schema=_feat_schema("a", False),
         ),
-        fb, left_on="id_b", right_on="fid_b",
+        lb, left_on="id_b", right_on="fid_b",
         num_buckets=cfg.hash_buckets,
-        left_schema=pa.schema(list(pairs_schema) + list(_feat_schema("a"))),
-        right_schema=_feat_schema("b"),
+        left_schema=pa.schema(list(pairs_schema)
+                              + list(_feat_schema("a", False))),
+        right_schema=_feat_schema("b", False),
     )
-
-    fuzzy_scored = enriched.map_batches(
-        PairScorer,
+    phase1 = lite.map_batches(
+        LitePairScorer,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.pair_batch_size,
-        concurrency=_pool_spec(cfg),
+        concurrency=_join_pool_spec(cfg),
+        num_cpus=1,
+    ).materialize()
+
+    score_cols = [f.name for f in _scores_schema()]
+
+    def _split(need_val: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.equal(t["need"], pa.scalar(need_val))
+            return t.filter(m).select(score_cols)
+
+        return f
+
+    done = phase1.map_batches(_split(False), batch_format="pyarrow",
+                              batch_size=cfg.pair_batch_size)
+    todo = phase1.map_batches(
+        lambda t: t.filter(t["need"]).select(
+            ["id_a", "id_b", "block_key", "jw", "tj"]),
+        batch_format="pyarrow", batch_size=cfg.pair_batch_size,
+    )
+    gated_schema = pa.schema(
+        [("id_a", pa.uint64()), ("id_b", pa.uint64()),
+         ("block_key", pa.uint64()), ("jw", pa.float64()),
+         ("tj", pa.float64())]
+    )
+    ta = rename_batches(feat_trunc, {"file_id_u64": "tfid_a",
+                                     "content_trunc": "trunc_a"})
+    tb = rename_batches(feat_trunc, {"file_id_u64": "tfid_b",
+                                     "content_trunc": "trunc_b"})
+    gated = bucket_join(
+        bucket_join(
+            todo, ta, left_on="id_a", right_on="tfid_a",
+            num_buckets=cfg.hash_buckets,
+            left_schema=gated_schema,
+            right_schema=pa.schema([("tfid_a", pa.uint64()),
+                                    ("trunc_a", pa.string())]),
+        ),
+        tb, left_on="id_b", right_on="tfid_b",
+        num_buckets=cfg.hash_buckets,
+        left_schema=pa.schema(list(gated_schema)
+                              + [("tfid_a", pa.uint64()),
+                                 ("trunc_a", pa.string())]),
+        right_schema=pa.schema([("tfid_b", pa.uint64()),
+                                ("trunc_b", pa.string())]),
+    )
+    phase2 = gated.map_batches(
+        LevScorer,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.pair_batch_size,
+        concurrency=_join_pool_spec(cfg),
         num_cpus=1,
     )
-    return exact_scored.union(fuzzy_scored)
+    return exact_scored.union(done).union(phase2)
 
 
 def match_edges(scores: "ray.data.Dataset", cfg: ERConfig) -> "ray.data.Dataset":

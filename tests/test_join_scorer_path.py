@@ -30,3 +30,31 @@ def test_join_path_matches_indexed_path(tiny_corpus_dir):
     assert len(indexed) == len(joined) > 0
     for col in ["id_a", "id_b", "score", "jw", "tj", "lev_sim"]:
         assert (indexed[col].values == joined[col].values).all(), col
+
+
+def test_join_path_with_extras_takes_single_phase_and_matches(tiny_corpus_dir):
+    """A registered scorer extra (which may reference any feature column)
+    routes the join path through single-phase enrichment; with a weight-0
+    extra the scores must stay bit-equal to the indexed path."""
+    from session_graph_ray.registry import (
+        register_scorer_feature,
+        unregister_scorer_feature,
+    )
+
+    base = ERConfig().scaled(4)
+    indexed = _scores(base, tiny_corpus_dir)
+
+    @register_scorer_feature("zero_extra", weight=0.0)
+    def _zero(batch):
+        import numpy as np
+
+        return np.zeros(batch.num_rows)
+
+    try:
+        joined = _scores(replace(base, feature_broadcast_limit=0),
+                         tiny_corpus_dir)
+    finally:
+        unregister_scorer_feature("zero_extra")
+    assert len(indexed) == len(joined) > 0
+    for col in ["id_a", "id_b", "score", "jw", "tj", "lev_sim"]:
+        assert (indexed[col].values == joined[col].values).all(), col
