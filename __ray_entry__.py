@@ -622,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_negatives": A.q_contrastive_negatives,
         "event_value_outliers": A.q_event_value_outliers,
         "vocab_edit1_pairs": A.q_vocab_edit1_pairs,
+        "setsim_pairs": A.q_setsim_pairs,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -2088,6 +2089,32 @@ def oracle_sql() -> dict[str, str]:
                                / len(list_distinct(list_concat(a.gs, b.gs)))
                      END * 1000000 + 0.5) AS BIGINT) AS jacc_u
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        """,
+        # exact AllPairs prefix-filter set-similarity self-join
+        # (ops/setsim.py): integer-exact threshold and half-up rounding —
+        # the engine compares 1e6*i >= tau_u*union and rounds with
+        # (2e6*i + u) // (2u); the SQL replays both in BIGINT arithmetic.
+        "setsim_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '[^\pL\pN_]+'),
+                         x -> x <> '') AS t
+              FROM documents
+            ),
+            occ AS (SELECT DISTINCT doc_id, u.tok FROM toks, UNNEST(t) AS u(tok)),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM occ GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+              FROM occ x JOIN occ y ON x.tok = y.tok AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a AS doc_a, b AS doc_b,
+                   CAST((2000000*i + (ca.n + cb.n - i))
+                        // (2*(ca.n + cb.n - i)) AS BIGINT) AS jacc_u
+            FROM inter JOIN cnt ca ON ca.doc_id = a
+                       JOIN cnt cb ON cb.doc_id = b
+            WHERE 1000000*i >= 600000*(ca.n + cb.n - i)
         """,
         "top_user_heavy_hitters": """
             SELECT user_id,

@@ -3947,3 +3947,20 @@ def q_user_profiles(sf_dir: str) -> "rd.Dataset":
     return g.select_columns(["user_id", "n_events", "first_seen",
                              "last_seen", "fav_type", "max_value_c"]
                             ).sort("user_id")
+
+
+def q_setsim_pairs(sf_dir: str, tau: float = 0.6) -> "rd.Dataset":
+    """Exact threshold set-similarity self-join (AllPairs prefix filtering,
+    ``ops/setsim.py``): every document pair with distinct-token Jaccard
+    >= tau, similarity in integer micro-units. The exact complement of the
+    probabilistic MinHash near-dedup path — the oracle replays the same
+    integer threshold and rounding over an exploded token self-join."""
+    from ..ops.setsim import setsim_join
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = setsim_join(docs, tau)
+
+    def drop_metric(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["doc_a"], pa.scalar(0)))
+
+    return pairs.map_batches(drop_metric, batch_format="pyarrow")

@@ -1,0 +1,119 @@
+"""setsim_join (ops/setsim.py) — exact AllPairs prefix-filter join: brute
+-force parity, broadcast-vs-join-path parity, counted cap truncation,
+prefix-theorem edge cases."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from session_graph_ray.ops.setsim import (
+    setsim_join,
+    split_setsim_metric_rows,
+)
+
+_M = 1_000_000
+
+
+def _tok(s):
+    return {t for t in re.split(r"[^a-z0-9_]+", s.lower()) if t}
+
+
+def _brute(texts, tau):
+    """All (i, j, jacc_u) with integer-exact threshold — the oracle."""
+    tau_u = int(round(tau * _M))
+    sets = {i: _tok(t) for i, t in texts.items()}
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sa, sb = sets[a], sets[b]
+            i = len(sa & sb)
+            u = len(sa) + len(sb) - i
+            if u > 0 and _M * i >= tau_u * u:
+                out.add((a, b, (2 * _M * i + u) // (2 * u)))
+    return out
+
+
+def _run(texts, tau, **kw):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+    }))
+    res = setsim_join(ds, tau, **kw)
+    tbl = pa.concat_tables([ray.get(r) for r in res.to_arrow_refs()])
+    real, dropped = split_setsim_metric_rows(tbl)
+    pairs = set(zip(
+        real.column("doc_a").to_pylist(),
+        real.column("doc_b").to_pylist(),
+        real.column("jacc_u").to_pylist(),
+    ))
+    return pairs, dropped
+
+
+def test_brute_force_parity():
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {}
+    base = rng.choice(vocab, size=12, replace=False)
+    for i in range(60):
+        if i % 3 == 0:
+            # mutated copies of a template -> plenty of true pairs
+            words = list(base)
+            for _ in range(rng.integers(0, 4)):
+                words[rng.integers(len(words))] = vocab[rng.integers(40)]
+        else:
+            words = list(rng.choice(vocab, size=rng.integers(3, 15)))
+        texts[i] = " ".join(words)
+    for tau in (0.5, 0.7, 0.9):
+        got, dropped = _run(texts, tau)
+        assert dropped == 0
+        assert got == _brute(texts, tau), f"tau={tau}"
+
+
+def test_join_path_parity():
+    texts = {i: f"alpha beta gamma_{i % 5} delta w{i % 7}" for i in range(40)}
+    a, da = _run(texts, 0.6)
+    b, db = _run(texts, 0.6, df_broadcast_max=0)
+    assert a == b and da == db == 0
+    assert a == _brute(texts, 0.6)
+
+
+def test_exact_duplicates_score_one_million():
+    texts = {1: "the quick brown fox", 2: "the quick brown fox",
+             3: "quick brown the fox", 4: "something else entirely"}
+    got, _ = _run(texts, 0.99)
+    assert got == {(1, 2, _M), (1, 3, _M), (2, 3, _M)}
+
+
+def test_unique_and_empty_docs_no_pairs():
+    # every token df=1, plus empty/whitespace docs: no pairs, no crash
+    texts = {1: "aaa bbb ccc", 2: "ddd eee fff", 3: "", 4: "   ", 5: "ggg"}
+    got, dropped = _run(texts, 0.5)
+    assert got == set() and dropped == 0
+
+
+def test_group_cap_counts_dropped_pairs():
+    # 30 identical docs share every prefix token; cap the group at 10
+    texts = {i: "shared tokens every doc has" for i in range(30)}
+    got, dropped = _run(texts, 0.8, group_cap=10)
+    # kept pairs come from the first 10 docs of every capped group (the
+    # same 10 docs in each group -> C(10,2) distinct pairs survive)
+    assert len(got) == 45
+    assert all(j == _M for _, _, j in got)
+    # every prefix-token group drops the same C(30,2)-C(10,2) cross pairs;
+    # the total is per-group-summed, never deduped away
+    per_group = (30 * 29 - 10 * 9) // 2
+    assert dropped > 0 and dropped % per_group == 0
+
+
+def test_length_filter_blocks_size_mismatch():
+    # subset containment: small doc's tokens all inside the big doc, but
+    # size ratio < tau -> jaccard 3/10 < 0.5, must not pair
+    texts = {1: "a b c", 2: "a b c d e f g h i j"}
+    got, _ = _run(texts, 0.5)
+    assert got == set()
