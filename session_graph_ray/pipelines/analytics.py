@@ -3964,3 +3964,21 @@ def q_setsim_pairs(sf_dir: str, tau: float = 0.6) -> "rd.Dataset":
         return t.filter(pc.greater_equal(t["doc_a"], pa.scalar(0)))
 
     return pairs.map_batches(drop_metric, batch_format="pyarrow")
+
+
+def q_metablock_edges(sf_dir: str, max_block_size: int = 64) -> "rd.Dataset":
+    """Meta-blocking with weighted-edge pruning (``ops/metablock.py``,
+    Papadakis et al. TKDE'13) over the near-dedup word-3-gram block space:
+    block purging at ``max_block_size``, CBS edge weights (number of shared
+    blocks), then the integer-exact global-mean cut. The oracle replays
+    blocks, weights and cut over the gram CTE the near-dedup oracle uses."""
+    from ..ops.metablock import doc_gram_blocks, metablock_wep
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    edges, _stats = metablock_wep(
+        doc_gram_blocks(docs), max_block_size=max_block_size
+    )
+    return edges.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "w"]),
+        batch_format="pyarrow",
+    )
