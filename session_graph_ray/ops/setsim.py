@@ -186,9 +186,24 @@ def _emit_prefix_records(
 
 
 def _pairs_kernel(tau_u: int, group_cap: int):
-    """Per-partition kernel: verified pairs within each complete pt group."""
+    """Per-partition kernel: verified pairs within each complete pt group.
+
+    Three structural fast paths keep it vectorized on near-dup-heavy
+    corpora (where output pairs number in the millions):
+
+    - candidate (i, j) expansion + length filter via the segmented
+      all-pairs idiom (``ops/pairing._all_pairs_idx``), no Python loop;
+    - candidate pairs are DEDUPED before verification (a pair sharing k
+      prefix tokens in this partition would otherwise verify k times);
+    - equal df>=2 token sets are detected by (count, wraparound-sum hash)
+      and resolved without any merge: equal arrays => intersection is
+      exactly the shared-array length. Only genuinely partial overlaps
+      reach the per-pair sorted-merge loop.
+    """
 
     def kern(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _TAGGED_SCHEMA.empty_table()
         pt = g.column("pt").to_numpy(zero_copy_only=False)
         did = g.column("doc_id").to_numpy(zero_copy_only=False)
         n = g.column("n").to_numpy(zero_copy_only=False)
@@ -199,61 +214,218 @@ def _pairs_kernel(tau_u: int, group_cap: int):
         # buffer correctly even on sliced/concatenated list arrays
         flat = toks.values.to_numpy(zero_copy_only=False)
         offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((did, n, pt))
-        pt_s, did_s, n_s = pt[order], did[order], n[order]
-        bounds = np.flatnonzero(
-            np.concatenate([[True], pt_s[1:] != pt_s[:-1], [True]])
-        )
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_j: list[int] = []
+        k_arr = offs[1:] - offs[:-1]  # df>=2 token count per record
+        # wraparound-sum set hash per record (commutative; equal sets =>
+        # equal hash, unequal sets collide with ~2^-64 probability — the
+        # same collision class the token hashing already accepts)
+        with np.errstate(over="ignore"):
+            csum = np.zeros(flat.size + 1, np.uint64)
+            np.cumsum(flat, dtype=np.uint64, out=csum[1:])
+            sh_arr = csum[offs[1:]] - csum[offs[:-1]]  # wraps mod 2^64
+
+        # ---- partition-wide PROFILE collapse -------------------------
+        # A profile is an identical df>=2 token array, keyed (n, k, sh):
+        # same profile => same prefix records => its docs appear in
+        # exactly the same pt runs, and every cross pair verifies
+        # identically. Candidate generation is quadratic in PROFILES,
+        # not docs — the decisive reduction on template-heavy corpora
+        # (a 10^12-file code corpus is mostly identical files).
+        porder = np.lexsort((did, sh_arr.view(np.int64), k_arr, n))
+        pn = n[porder]
+        pk = k_arr[porder]
+        psh = sh_arr[porder]
+        newp = np.ones(porder.size, bool)
+        newp[1:] = ((pn[1:] != pn[:-1]) | (pk[1:] != pk[:-1])
+                    | (psh[1:] != psh[:-1]))
+        pid_sorted = np.cumsum(newp) - 1
+        pid = np.empty(porder.size, np.int64)
+        pid[porder] = pid_sorted
+        n_prof = int(pid_sorted[-1]) + 1 if porder.size else 0
+        rep = porder[np.flatnonzero(newp)]  # one record index per profile
+        prof_n = n[rep]
+        prof_k = k_arr[rep]
+        # members: DISTINCT doc ids per profile (a doc has one record per
+        # prefix token, all with the same pid)
+        mkey = pid * _C31 + did  # doc ids are 31-bit checked below
+        if did.size and (did.max() >= _C31 or did.min() < 0):
+            raise ValueError("doc ids must fit in 31 bits")
+        mu = np.unique(mkey)
+        mem_pid = mu // _C31
+        mem_doc = mu % _C31
+        mem_starts = np.searchsorted(mem_pid, np.arange(n_prof + 1))
+        prof_m = np.diff(mem_starts)  # member count per profile
+
+        rep_doc = mem_doc[mem_starts[:-1]] if n_prof else np.empty(0, np.int64)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_j: list[np.ndarray] = []
+        out_kind: list[np.ndarray] = []
+        referenced: list[np.ndarray] = []  # pids needing membership rows
+
+        def emit(doc_a, doc_b, jacc, kind):
+            out_a.append(np.asarray(doc_a, np.int64))
+            out_b.append(np.asarray(doc_b, np.int64))
+            out_j.append(np.asarray(jacc, np.int64))
+            out_kind.append(np.full(len(out_a[-1]), kind, np.int8))
+
+        # ---- within-profile pairs (identical df>=2 arrays) ----------
+        # jacc = k / (2n - k) exactly (intersection is the shared array;
+        # each side's df-1 tokens are unique to it by definition). Emitted
+        # as ONE self profile-pair row (rep, rep, jacc) — the expansion
+        # stage materializes the C(m,2) member pairs exactly once
+        wmulti = np.flatnonzero(prof_m >= 2)
+        if wmulti.size:
+            wu = 2 * prof_n[wmulti] - prof_k[wmulti]
+            wpass = wmulti[(wu > 0)
+                           & (_M * prof_k[wmulti] >= tau_u * wu)]
+            if wpass.size:
+                wun = 2 * prof_n[wpass] - prof_k[wpass]
+                emit(rep_doc[wpass], rep_doc[wpass],
+                     (2 * _M * prof_k[wpass] + wun) // (2 * wun), 0)
+                referenced.append(wpass)
+
+        # ---- cross-profile candidates per pt run --------------------
         dropped = 0
-        for gi in range(bounds.size - 1):
-            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-            m = hi - lo
-            if m < 2:
-                continue
-            if m > group_cap:
-                dropped += (m * (m - 1) - group_cap * (group_cap - 1)) // 2
-                hi = lo + group_cap
-                m = group_cap
-            idx = order[lo:hi]
-            nn = n_s[lo:hi]
-            dd = did_s[lo:hi]
-            for i in range(m - 1):
-                ti = flat[offs[idx[i]]:offs[idx[i] + 1]]
-                ni = nn[i]
-                for j in range(i + 1, m):
-                    nj = nn[j]
-                    if _M * ni < tau_u * nj:  # length filter (n asc)
-                        break
-                    if dd[i] == dd[j]:
-                        continue  # same doc via duplicate record (shouldn't occur)
-                    tj = flat[offs[idx[j]]:offs[idx[j] + 1]]
-                    if ti.size > tj.size:
-                        small, big = tj, ti
-                    else:
-                        small, big = ti, tj
-                    pos = np.searchsorted(big, small)
-                    pos[pos == big.size] = 0
-                    inter = int((big[pos] == small).sum())
-                    union = int(ni + nj - inter)
-                    if union <= 0 or _M * inter < tau_u * union:
+        rorder = np.lexsort((pid, pt))
+        rpt = pt[rorder]
+        rpid = pid[rorder]
+        rbounds = np.flatnonzero(
+            np.concatenate([[True], rpt[1:] != rpt[:-1], [True]])
+        )
+        # distinct pids per run (a profile's docs share identical prefix
+        # records, so within a run a pid repeats once per member doc)
+        keep1 = np.ones(rpid.size, bool)
+        keep1[1:] = (rpid[1:] != rpid[:-1]) | (rpt[1:] != rpt[:-1])
+        run_of = np.repeat(
+            np.arange(rbounds.size - 1), np.diff(rbounds)
+        )[keep1]
+        upid = rpid[keep1]
+        # order profiles within each run by (n, pid) for the length filter
+        uorder = np.lexsort((upid, prof_n[upid], run_of))
+        run_s = run_of[uorder]
+        upid_s = upid[uorder]
+        ubounds = np.flatnonzero(
+            np.concatenate([[True], run_s[1:] != run_s[:-1], [True]])
+        )
+        ustarts = ubounds[:-1]
+        usizes = np.diff(ubounds)
+        # profile-level group cap with exact dropped MEMBER-pair counts:
+        # keep the first group_cap profiles of an oversized run; dropped =
+        # C(run member docs, 2) - C(kept member docs, 2)
+        if (usizes > group_cap).any():
+            mcnt = prof_m[upid_s]
+            over = np.flatnonzero(usizes > group_cap)
+            for oi in over:
+                lo, hi = int(ustarts[oi]), int(ubounds[oi + 1])
+                m_all = int(mcnt[lo:hi].sum())
+                m_kept = int(mcnt[lo:lo + group_cap].sum())
+                dropped += (m_all * (m_all - 1) - m_kept * (m_kept - 1)) // 2
+            local = np.arange(upid_s.size, dtype=np.int64) - np.repeat(
+                ustarts, usizes
+            )
+            sel = np.flatnonzero(local < group_cap)
+            upid_s = upid_s[sel]
+            usizes = np.minimum(usizes, group_cap)
+            ustarts = np.concatenate([[0], np.cumsum(usizes)[:-1]])
+        pmulti = usizes >= 2
+        if pmulti.any():
+            from .pairing import _all_pairs_idx
+
+            a_i, b_i = _all_pairs_idx(ustarts[pmulti], usizes[pmulti])
+            pa_id, pb_id = upid_s[a_i], upid_s[b_i]
+            # length filter: profiles are n-ascending within a run
+            ok = _M * prof_n[pa_id] >= tau_u * prof_n[pb_id]
+            pa_id, pb_id = pa_id[ok], pb_id[ok]
+            # dedup candidate PROFILE pairs across runs before verify
+            key = pa_id * np.int64(n_prof) + pb_id
+            cand = np.unique(key)
+            ca = cand // n_prof
+            cb = cand % n_prof
+            na, nb = prof_n[ca], prof_n[cb]
+            ka, kb = prof_k[ca], prof_k[cb]
+            ra, rb = rep[ca], rep[cb]
+            inter = np.empty(ca.size, np.int64)
+            same = (ka == kb) & (sh_arr[ra] == sh_arr[rb])
+            inter[same] = ka[same]
+            rest = np.flatnonzero(~same)
+            if rest.size:
+                # vectorized multi-pair intersection: encode partition
+                # tokens to dense ids, key each side's elements by
+                # (chunk-local pair index * V + id) — the probe target is
+                # then globally sorted, so ONE searchsorted per chunk
+                # counts every pair's overlap; chunking bounds memory at
+                # ~elem_budget gathered elements per pass
+                from .pairing import _ranges_concat
+
+                uniq = np.unique(flat)
+                V = np.int64(max(uniq.size, 1))
+                elem_budget = 16_000_000
+                ksum = np.cumsum(
+                    (k_arr[ra[rest]] + k_arr[rb[rest]]).astype(np.int64)
+                )
+                n_chunks = max(1, int(-(-int(ksum[-1]) // elem_budget)))
+                cuts = np.searchsorted(
+                    ksum, elem_budget * np.arange(1, n_chunks + 1)
+                ) + 1
+                cuts = np.unique(np.clip(cuts, 1, rest.size))
+                lo = 0
+                for hi in cuts:
+                    ch = rest[lo:hi]
+                    lo = int(hi)
+                    if ch.size == 0:
                         continue
-                    a, b = (int(dd[i]), int(dd[j]))
-                    if a > b:
-                        a, b = b, a
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_j.append((2 * _M * inter + union) // (2 * union))
+                    ra_c, rb_c = ra[ch], rb[ch]
+                    la = k_arr[ra_c]
+                    lb = k_arr[rb_c]
+                    ppos = np.arange(ch.size, dtype=np.int64)
+                    a_idxf = _ranges_concat(offs[ra_c], la)
+                    b_idxf = _ranges_concat(offs[rb_c], lb)
+                    a_ids = np.searchsorted(uniq, flat[a_idxf])
+                    b_ids = np.searchsorted(uniq, flat[b_idxf])
+                    a_pair = np.repeat(ppos, la)
+                    a_key = a_pair * V + a_ids
+                    b_key = np.repeat(ppos, lb) * V + b_ids
+                    if b_key.size:
+                        pos = np.searchsorted(b_key, a_key)
+                        pos[pos == b_key.size] = 0
+                        hit = b_key[pos] == a_key
+                        inter[ch] = np.bincount(
+                            a_pair[hit], minlength=ch.size
+                        )
+                    else:
+                        inter[ch] = 0
+            union = na + nb - inter
+            good = np.flatnonzero((union > 0)
+                                  & (_M * inter >= tau_u * union))
+            if good.size:
+                ga, gb = ca[good], cb[good]
+                gj = ((2 * _M * inter[good] + union[good])
+                      // (2 * union[good]))
+                da, db = rep_doc[ga], rep_doc[gb]
+                emit(np.minimum(da, db), np.maximum(da, db), gj, 0)
+                referenced.append(ga)
+                referenced.append(gb)
+
+        # ---- membership rows for every referenced profile -----------
+        if referenced:
+            refp = np.unique(np.concatenate(referenced))
+            cnts = prof_m[refp]
+            from .pairing import _ranges_concat
+
+            midx = _ranges_concat(mem_starts[refp], cnts)
+            emit(np.repeat(rep_doc[refp], cnts), mem_doc[midx],
+                 np.zeros(midx.size, np.int64), 1)
+
         if dropped:
-            out_a.append(-1)
-            out_b.append(-1)
-            out_j.append(dropped)
+            emit(np.array([-1], np.int64), np.array([-1], np.int64),
+                 np.array([dropped], np.int64), 2)
+        if not out_a:
+            return _TAGGED_SCHEMA.empty_table()
         return pa.table({
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "jacc_u": pa.array(out_j, pa.int64()),
+            "doc_a": pa.array(np.concatenate(out_a)),
+            "doc_b": pa.array(np.concatenate(out_b)),
+            "jacc_u": pa.array(np.concatenate(out_j)),
+            "kind": pa.array(np.concatenate(out_kind)),
         })
 
     return kern
@@ -262,13 +434,22 @@ def _pairs_kernel(tau_u: int, group_cap: int):
 _PAIR_SCHEMA = pa.schema(
     [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jacc_u", pa.int64())]
 )
+_TAGGED_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jacc_u", pa.int64()),
+     ("kind", pa.int8())]
+)
+
+# deduped membership at or below this many rows expands through one
+# broadcast lookup; above it, two bucketed joins (the 100-TB path)
+MEM_BROADCAST_MAX = 4_000_000
 
 
-def _dedup_pairs(pairs: "rd.Dataset", num_buckets: int) -> "rd.Dataset":
-    """Global DISTINCT on (doc_a, doc_b); metric rows (doc_a < 0) pass
-    through UNSUMMED per partition (each partition emits at most one, and
-    partitions are disjoint tasks — summing happens in the split helper,
-    the ADVICE-r3 counted-truncation contract)."""
+def _dedup_tagged(rows: "rd.Dataset", num_buckets: int) -> "rd.Dataset":
+    """Global DISTINCT on (kind, doc_a, doc_b) for profile-pair (kind 0)
+    and membership (kind 1) rows; metric rows (kind 2) pass through
+    UNSUMMED per partition (each source partition emits at most one —
+    summing happens in the split helper, the counted-truncation
+    contract)."""
 
     def bucket_fn(t: pa.Table) -> np.ndarray:
         a = t.column("doc_a").to_numpy(zero_copy_only=False)
@@ -280,28 +461,185 @@ def _dedup_pairs(pairs: "rd.Dataset", num_buckets: int) -> "rd.Dataset":
         a = g.column("doc_a").to_numpy(zero_copy_only=False)
         b = g.column("doc_b").to_numpy(zero_copy_only=False)
         j = g.column("jacc_u").to_numpy(zero_copy_only=False)
-        metric = a < 0
+        kd = g.column("kind").to_numpy(zero_copy_only=False)
+        metric = kd == 2
         real = ~metric
-        ar, br, jr = a[real], b[real], j[real]
+        ar, br, jr, kr = a[real], b[real], j[real], kd[real]
         if ar.size and (max(ar.max(), br.max()) >= _C31 or ar.min() < 0):
             raise ValueError("doc ids must fit in 31 bits")
-        key = ar * _C31 + br
+        key = (ar * _C31 + br) * 2 + kr
         _, first = np.unique(key, return_index=True)
-        out = pa.table({
+        return pa.table({
             "doc_a": pa.array(np.concatenate([ar[first], a[metric]])),
             "doc_b": pa.array(np.concatenate([br[first], b[metric]])),
             "jacc_u": pa.array(np.concatenate([jr[first], j[metric]])),
+            "kind": pa.array(np.concatenate([kr[first], kd[metric]])),
         })
-        return out
 
     return exchange_map_groups(
-        pairs, kern, None, num_buckets, _PAIR_SCHEMA.empty_table(),
+        rows, kern, None, num_buckets, _TAGGED_SCHEMA.empty_table(),
         bucket_fn=bucket_fn,
     )
 
 
+def _expand_profiles(
+    tagged: "rd.Dataset",
+    num_buckets: int,
+    mem_broadcast_max: int = MEM_BROADCAST_MAX,
+) -> "rd.Dataset":
+    """Materialize member doc pairs from deduped profile-pair rows —
+    exactly once globally. Self pairs (rep == rep) expand to C(m,2)
+    within-profile pairs; cross pairs to the m_a x m_b product. Metric
+    rows ride through untouched."""
+    mat = tagged.materialize()
+
+    def pick(kind: int):
+        def f(t: pa.Table, k=kind) -> pa.Table:
+            # Ray hands zero-row blocks as column-less tables — pin schema
+            if t.num_rows == 0 or "kind" not in t.schema.names:
+                return _TAGGED_SCHEMA.empty_table()
+            return t.filter(pc.equal(t["kind"], pa.scalar(k)))
+
+        return mat.map_batches(f, batch_format="pyarrow")
+
+    pairs = pick(0)
+    mem = pick(1).materialize()
+
+    # metric rows are bounded by the partition count (at most one per
+    # kernel task), so they collect driver-side; a lazy all-empty union
+    # side would surface as a schema-less block and break concatenation
+    met_parts = [
+        b.select(["doc_a", "doc_b", "jacc_u"])
+        for b in pick(2).iter_batches(batch_format="pyarrow")
+        if b.num_rows and "doc_a" in b.schema.names
+    ]
+    metric_tbl = (
+        pa.concat_tables(met_parts) if met_parts
+        else _PAIR_SCHEMA.empty_table()
+    )
+
+    n_mem = mem.count()
+    if n_mem <= mem_broadcast_max:
+        if n_mem == 0:
+            reps = np.empty(0, np.int64)
+            members = np.empty(0, np.int64)
+            starts = np.zeros(1, np.int64)
+        else:
+            mdf = mem.to_pandas()
+            r = mdf["doc_a"].to_numpy(np.int64)
+            m = mdf["doc_b"].to_numpy(np.int64)
+            order = np.lexsort((m, r))
+            r, members = r[order], m[order]
+            newr = np.ones(r.size, bool)
+            newr[1:] = r[1:] != r[:-1]
+            reps = r[newr]
+            starts = np.concatenate([
+                np.flatnonzero(newr), [r.size]
+            ]).astype(np.int64)
+        ref = ray.put((reps, members, starts))
+
+        def expand(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "doc_a" not in t.schema.names:
+                return _PAIR_SCHEMA.empty_table()
+            reps_l, mem_l, st_l = ray.get(ref)
+            a = t.column("doc_a").to_numpy(zero_copy_only=False)
+            b = t.column("doc_b").to_numpy(zero_copy_only=False)
+            j = t.column("jacc_u").to_numpy(zero_copy_only=False)
+            pia = np.searchsorted(reps_l, a)
+            pib = np.searchsorted(reps_l, b)
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            out_j: list[np.ndarray] = []
+            from .pairing import _all_pairs_idx
+
+            for i in range(a.size):
+                ma = mem_l[st_l[pia[i]]:st_l[pia[i] + 1]]
+                if a[i] == b[i]:
+                    ai, bi = _all_pairs_idx(
+                        np.zeros(1, np.int64),
+                        np.array([ma.size], np.int64),
+                    )
+                    out_a.append(ma[ai])
+                    out_b.append(ma[bi])
+                    out_j.append(np.full(ai.size, j[i], np.int64))
+                else:
+                    mb = mem_l[st_l[pib[i]]:st_l[pib[i] + 1]]
+                    xa = np.repeat(ma, mb.size)
+                    xb = np.tile(mb, ma.size)
+                    out_a.append(np.minimum(xa, xb))
+                    out_b.append(np.maximum(xa, xb))
+                    out_j.append(np.full(xa.size, j[i], np.int64))
+            if not out_a:
+                return _PAIR_SCHEMA.empty_table()
+            return pa.table({
+                "doc_a": pa.array(np.concatenate(out_a)),
+                "doc_b": pa.array(np.concatenate(out_b)),
+                "jacc_u": pa.array(np.concatenate(out_j)),
+            })
+
+        expanded = pairs.map_batches(expand, batch_format="pyarrow")
+    else:
+        # 100-TB path: two bucketed joins replicate membership onto each
+        # side, then normalize order. Self pairs keep ma < mb only.
+        from .join import bucket_join, rename_batches
+
+        p3 = pairs.map_batches(
+            lambda t: t.select(["doc_a", "doc_b", "jacc_u"]),
+            batch_format="pyarrow",
+        )
+        ma_side = rename_batches(
+            mem.map_batches(
+                lambda t: t.select(["doc_a", "doc_b"]),
+                batch_format="pyarrow",
+            ),
+            {"doc_a": "rep_a", "doc_b": "mem_a"},
+        )
+        mb_side = rename_batches(
+            mem.map_batches(
+                lambda t: t.select(["doc_a", "doc_b"]),
+                batch_format="pyarrow",
+            ),
+            {"doc_a": "rep_b", "doc_b": "mem_b"},
+        )
+        j1 = bucket_join(
+            p3, ma_side, left_on="doc_a", right_on="rep_a",
+            left_schema=_PAIR_SCHEMA,
+            right_schema=pa.schema([("rep_a", pa.int64()),
+                                    ("mem_a", pa.int64())]),
+        )
+        j2 = bucket_join(
+            j1, mb_side, left_on="doc_b", right_on="rep_b",
+            left_schema=pa.schema(list(_PAIR_SCHEMA)
+                                  + [pa.field("rep_a", pa.int64()),
+                                     pa.field("mem_a", pa.int64())]),
+            right_schema=pa.schema([("rep_b", pa.int64()),
+                                    ("mem_b", pa.int64())]),
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            a = t.column("doc_a").to_numpy(zero_copy_only=False)
+            b = t.column("doc_b").to_numpy(zero_copy_only=False)
+            ma = t.column("mem_a").to_numpy(zero_copy_only=False)
+            mb = t.column("mem_b").to_numpy(zero_copy_only=False)
+            j = t.column("jacc_u").to_numpy(zero_copy_only=False)
+            keep = (a != b) | (ma < mb)
+            ma, mb, j = ma[keep], mb[keep], j[keep]
+            return pa.table({
+                "doc_a": pa.array(np.minimum(ma, mb)),
+                "doc_b": pa.array(np.maximum(ma, mb)),
+                "jacc_u": pa.array(j),
+            })
+
+        expanded = j2.map_batches(finish, batch_format="pyarrow")
+    if metric_tbl.num_rows:
+        return expanded.union(rd.from_arrow(metric_tbl))
+    return expanded
+
+
 def split_setsim_metric_rows(tbl: pa.Table) -> tuple[pa.Table, int]:
     """(real pairs, total dropped cross-pair count from capped groups)."""
+    if tbl.num_rows == 0 or "doc_a" not in tbl.schema.names:
+        return _PAIR_SCHEMA.empty_table(), 0
     a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
     metric = a < 0
     dropped = int(tbl.column("jacc_u").to_numpy(zero_copy_only=False)[metric].sum())
@@ -419,8 +757,8 @@ def setsim_join(
         pt = t.column("pt").to_numpy(zero_copy_only=False)
         return (pt.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
 
-    raw_pairs = exchange_map_groups(
+    raw = exchange_map_groups(
         records, _pairs_kernel(tau_u, group_cap), None, num_buckets,
-        _PAIR_SCHEMA.empty_table(), bucket_fn=pt_bucket,
+        _TAGGED_SCHEMA.empty_table(), bucket_fn=pt_bucket,
     )
-    return _dedup_pairs(raw_pairs, num_buckets)
+    return _expand_profiles(_dedup_tagged(raw, num_buckets), num_buckets)

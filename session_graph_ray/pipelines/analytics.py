@@ -3961,6 +3961,10 @@ def q_setsim_pairs(sf_dir: str, tau: float = 0.6) -> "rd.Dataset":
     pairs = setsim_join(docs, tau)
 
     def drop_metric(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.schema.names:
+            from ..ops.setsim import _PAIR_SCHEMA
+
+            return _PAIR_SCHEMA.empty_table()
         return t.filter(pc.greater_equal(t["doc_a"], pa.scalar(0)))
 
     return pairs.map_batches(drop_metric, batch_format="pyarrow")

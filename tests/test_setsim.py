@@ -15,6 +15,13 @@ from session_graph_ray.ops.setsim import (
     split_setsim_metric_rows,
 )
 
+
+def _pair_schema():
+    from session_graph_ray.ops.setsim import _PAIR_SCHEMA
+
+    return _PAIR_SCHEMA
+
+
 _M = 1_000_000
 
 
@@ -45,7 +52,10 @@ def _run(texts, tau, **kw):
         "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
     }))
     res = setsim_join(ds, tau, **kw)
-    tbl = pa.concat_tables([ray.get(r) for r in res.to_arrow_refs()])
+    tbls = [t for t in (ray.get(r) for r in res.to_arrow_refs())
+            if t.num_rows]  # Ray emits schema-less sentinel empty blocks
+    tbl = (pa.concat_tables(tbls) if tbls
+           else _pair_schema().empty_table())
     real, dropped = split_setsim_metric_rows(tbl)
     pairs = set(zip(
         real.column("doc_a").to_pylist(),
@@ -97,18 +107,28 @@ def test_unique_and_empty_docs_no_pairs():
     assert got == set() and dropped == 0
 
 
-def test_group_cap_counts_dropped_pairs():
-    # 30 identical docs share every prefix token; cap the group at 10
+def test_identical_docs_collapse_no_truncation():
+    # 30 identical docs are ONE profile: the kernel is quadratic in
+    # profiles, so even group_cap=2 must not truncate — all C(30,2)
+    # within-profile pairs survive at jacc 1.0
     texts = {i: "shared tokens every doc has" for i in range(30)}
-    got, dropped = _run(texts, 0.8, group_cap=10)
-    # kept pairs come from the first 10 docs of every capped group (the
-    # same 10 docs in each group -> C(10,2) distinct pairs survive)
-    assert len(got) == 45
+    got, dropped = _run(texts, 0.8, group_cap=2)
+    assert dropped == 0
+    assert len(got) == 435
     assert all(j == _M for _, _, j in got)
-    # every prefix-token group drops the same C(30,2)-C(10,2) cross pairs;
-    # the total is per-group-summed, never deduped away
-    per_group = (30 * 29 - 10 * 9) // 2
-    assert dropped > 0 and dropped % per_group == 0
+
+
+def test_group_cap_counts_dropped_member_pairs():
+    # two DISTINCT profiles share one prefix token (the min-hash of the
+    # common df-4 tokens): P1 = docs 1,2 ("x y z"), P2 = docs 3,4
+    # ("x y w q"). group_cap=1 keeps only the first (smaller-n) profile
+    # in that run, dropping C(4,2)-C(2,2) = 5 member pairs — counted.
+    # Within-profile pairs (discovered in every run each profile owns)
+    # still survive.
+    texts = {1: "x y z", 2: "x y z", 3: "x y w q", 4: "x y w q"}
+    got, dropped = _run(texts, 0.5, group_cap=1)
+    assert got == {(1, 2, _M), (3, 4, _M)}
+    assert dropped == 5
 
 
 def test_length_filter_blocks_size_mismatch():
