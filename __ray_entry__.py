@@ -624,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_edit1_pairs": A.q_vocab_edit1_pairs,
         "setsim_pairs": A.q_setsim_pairs,
         "metablock_edges": A.q_metablock_edges,
+        "metablock_wnp_edges": A.q_metablock_wnp_edges,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -2150,6 +2151,47 @@ def oracle_sql() -> dict[str, str]:
             stats AS (SELECT SUM(w) AS s, COUNT(*) AS n FROM pairs)
             SELECT a AS doc_a, b AS doc_b, CAST(w AS BIGINT) AS w
             FROM pairs, stats WHERE w*n >= s
+        """,
+        # reciprocal weighted NODE pruning (metablock_wnp): keep an edge
+        # iff w*deg(v) >= sum_w(v) at BOTH endpoints — integer-exact.
+        "metablock_wnp_edges": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '[^\pL\pN_]+'),
+                         x -> x <> '') AS t
+              FROM documents
+            ),
+            gs AS (
+              SELECT DISTINCT doc_id,
+                     '3:' || t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] AS g
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS r(i)
+              WHERE len(t) >= 3
+              UNION
+              SELECT DISTINCT doc_id,
+                     CAST(len(t) AS VARCHAR) || ':'
+                     || array_to_string(t, chr(31)) AS g
+              FROM toks WHERE len(t) < 3 AND len(t) > 0
+            ),
+            bsz AS (SELECT g, COUNT(*) AS c FROM gs GROUP BY g),
+            keepb AS (SELECT g FROM bsz WHERE c BETWEEN 2 AND 64),
+            pairs AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS w
+              FROM gs x JOIN gs y ON x.g = y.g AND x.doc_id < y.doc_id
+              JOIN keepb k ON k.g = x.g
+              GROUP BY 1, 2
+            ),
+            nstats AS (
+              SELECT node, COUNT(*) AS deg, SUM(w) AS wsum
+              FROM (SELECT a AS node, w FROM pairs
+                    UNION ALL SELECT b AS node, w FROM pairs)
+              GROUP BY node
+            )
+            SELECT a AS doc_a, b AS doc_b, CAST(w AS BIGINT) AS w
+            FROM pairs
+            JOIN nstats sa ON sa.node = a
+            JOIN nstats sb ON sb.node = b
+            WHERE w * sa.deg >= sa.wsum AND w * sb.deg >= sb.wsum
         """,
         "top_user_heavy_hitters": """
             SELECT user_id,

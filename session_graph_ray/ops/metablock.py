@@ -173,6 +173,158 @@ def metablock_wep(
     their forgone co-occurrence rows (counted truncation) plus the edge
     total/sum the cut used.
     """
+    edges, stats = _weighted_edges(
+        blocks, id_col, key_col, max_block_size, num_buckets,
+        size_broadcast_max,
+    )
+
+    # global mean from constant-size partials
+    tot_w = 0
+    tot_n = 0
+    for b in edges.iter_batches(batch_format="pandas"):
+        tot_w += int(b["w"].sum())
+        tot_n += len(b)
+
+    def cut(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(w * tot_n >= tot_w))
+
+    if tot_n == 0:
+        # materializing an all-empty dataset drops its blocks (and with
+        # them the schema) — pin the edge schema explicitly
+        pruned = rd.from_arrow(_EDGE_SCHEMA.empty_table())
+    else:
+        pruned = edges.map_batches(cut, batch_format="pyarrow")
+    stats.update({"edges_total": int(tot_n), "weight_sum": int(tot_w)})
+    return pruned, stats
+
+
+def metablock_wnp(
+    blocks: "rd.Dataset",
+    id_col: str = "eid",
+    key_col: str = "bkey",
+    max_block_size: int = 64,
+    num_buckets: int = 256,
+    size_broadcast_max: int = SIZE_BROADCAST_MAX,
+) -> tuple["rd.Dataset", dict]:
+    """Reciprocal Weighted Node Pruning (Papadakis et al. TKDE'13): an
+    edge survives iff its CBS weight clears BOTH endpoints' local mean
+    (w * deg(v) >= sum_w(v) for v in {a, b}) — the node-centric,
+    precision-favoring alternative to ``metablock_wep``'s global cut.
+    Integer-exact, so the SQL oracle replays it bit-for-bit. Node stats
+    come from one bucketed exchange over exploded endpoints; the
+    (node -> deg, sum) map is size-gated broadcast with a bucketed-join
+    fallback."""
+    edges, stats = _weighted_edges(
+        blocks, id_col, key_col, max_block_size, num_buckets,
+        size_broadcast_max,
+    )
+
+    def ends_map(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b])),
+            "w": pa.array(np.concatenate([w, w])),
+        })
+
+    ends = edges.map_batches(ends_map, batch_format="pyarrow")
+
+    def node_kern(g: pa.Table) -> pa.Table:
+        nd = g.column("node").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        order = np.argsort(nd, kind="stable")
+        nd_s, w_s = nd[order], w[order]
+        starts = np.flatnonzero(np.r_[True, nd_s[1:] != nd_s[:-1]])
+        return pa.table({
+            "node": pa.array(nd_s[starts]),
+            "deg": pa.array(np.diff(np.r_[starts, nd_s.size]).astype(np.int64)),
+            "wsum": pa.array(np.add.reduceat(w_s, starts).astype(np.int64)),
+        })
+
+    nstats_schema = pa.schema([
+        ("node", pa.int64()), ("deg", pa.int64()), ("wsum", pa.int64())
+    ])
+    nstats = exchange_map_groups(
+        ends, node_kern, "node", num_buckets, nstats_schema.empty_table()
+    ).materialize()
+
+    n_nodes = nstats.count()
+    if n_nodes == 0:
+        stats["nodes_total"] = 0
+        return rd.from_arrow(_EDGE_SCHEMA.empty_table()), stats
+    if n_nodes <= size_broadcast_max:
+        ndf = nstats.to_pandas()
+        order = np.argsort(ndf["node"].to_numpy())
+        nd_arr = ndf["node"].to_numpy(np.int64)[order]
+        deg_arr = ndf["deg"].to_numpy(np.int64)[order]
+        sum_arr = ndf["wsum"].to_numpy(np.int64)[order]
+        ref = ray.put((nd_arr, deg_arr, sum_arr))
+
+        def cut(t: pa.Table) -> pa.Table:
+            nd_l, deg_l, sum_l = ray.get(ref)
+            a = t.column("id_a").to_numpy(zero_copy_only=False)
+            b = t.column("id_b").to_numpy(zero_copy_only=False)
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            pa_i = np.searchsorted(nd_l, a)
+            pb_i = np.searchsorted(nd_l, b)
+            keep = ((w * deg_l[pa_i] >= sum_l[pa_i])
+                    & (w * deg_l[pb_i] >= sum_l[pb_i]))
+            return t.filter(pa.array(keep))
+
+        pruned = edges.map_batches(cut, batch_format="pyarrow")
+    else:
+        # 100-TB path: replicate node stats onto each endpoint with two
+        # bucketed joins, then one vectorized filter
+        from .join import bucket_join, rename_batches
+
+        sa = rename_batches(nstats, {"node": "na", "deg": "dega",
+                                     "wsum": "suma"})
+        sb = rename_batches(nstats, {"node": "nb", "deg": "degb",
+                                     "wsum": "sumb"})
+        j1 = bucket_join(
+            edges, sa, left_on="id_a", right_on="na",
+            left_schema=_EDGE_SCHEMA,
+            right_schema=pa.schema([("na", pa.int64()),
+                                    ("dega", pa.int64()),
+                                    ("suma", pa.int64())]),
+        )
+        j2 = bucket_join(
+            j1, sb, left_on="id_b", right_on="nb",
+            left_schema=pa.schema(
+                list(_EDGE_SCHEMA)
+                + [pa.field("na", pa.int64()), pa.field("dega", pa.int64()),
+                   pa.field("suma", pa.int64())]),
+            right_schema=pa.schema([("nb", pa.int64()),
+                                    ("degb", pa.int64()),
+                                    ("sumb", pa.int64())]),
+        )
+
+        def cut_j(t: pa.Table) -> pa.Table:
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            keep = ((w * t.column("dega").to_numpy(zero_copy_only=False)
+                     >= t.column("suma").to_numpy(zero_copy_only=False))
+                    & (w * t.column("degb").to_numpy(zero_copy_only=False)
+                       >= t.column("sumb").to_numpy(zero_copy_only=False)))
+            return t.filter(pa.array(keep)).select(["id_a", "id_b", "w"])
+
+        pruned = j2.map_batches(cut_j, batch_format="pyarrow")
+    stats["nodes_total"] = int(n_nodes)
+    return pruned, stats
+
+
+def _weighted_edges(
+    blocks: "rd.Dataset",
+    id_col: str,
+    key_col: str,
+    max_block_size: int,
+    num_buckets: int,
+    size_broadcast_max: int,
+) -> tuple["rd.Dataset", dict]:
+    """Shared meta-blocking front half: block purging (counted) + CBS
+    edge weights. Returns the MATERIALIZED weighted edge table and the
+    purge stats."""
     from .spandedup import _bucketed_value_counts
 
     named = blocks
@@ -244,29 +396,9 @@ def metablock_wep(
         _EDGE_SCHEMA.empty_table(), bucket_fn=bk_bucket,
     )
     edges = _count_pairs(cooc, num_buckets).materialize()
-
-    # global mean from constant-size partials
-    tot_w = 0
-    tot_n = 0
-    for b in edges.iter_batches(batch_format="pandas"):
-        tot_w += int(b["w"].sum())
-        tot_n += len(b)
-
-    def cut(t: pa.Table) -> pa.Table:
-        w = t.column("w").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(w * tot_n >= tot_w))
-
-    if tot_n == 0:
-        # materializing an all-empty dataset drops its blocks (and with
-        # them the schema) — pin the edge schema explicitly
-        pruned = rd.from_arrow(_EDGE_SCHEMA.empty_table())
-    else:
-        pruned = edges.map_batches(cut, batch_format="pyarrow")
     stats = {
         "purged_blocks": int(purged_blocks),
         "purged_block_rows": int(purged_rows),
         "purged_cooccurrence_pairs": int(purged_pairs),
-        "edges_total": int(tot_n),
-        "weight_sum": int(tot_w),
     }
-    return pruned, stats
+    return edges, stats

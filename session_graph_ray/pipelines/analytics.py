@@ -3986,3 +3986,20 @@ def q_metablock_edges(sf_dir: str, max_block_size: int = 64) -> "rd.Dataset":
         lambda t: t.rename_columns(["doc_a", "doc_b", "w"]),
         batch_format="pyarrow",
     )
+
+
+def q_metablock_wnp_edges(sf_dir: str, max_block_size: int = 64) -> "rd.Dataset":
+    """Meta-blocking with reciprocal Weighted Node Pruning
+    (``ops/metablock.metablock_wnp``): an edge survives iff its CBS weight
+    clears BOTH endpoints' local mean — integer-exact (w*deg >= sum), so
+    the oracle replays the cut over the same gram-block CTE."""
+    from ..ops.metablock import doc_gram_blocks, metablock_wnp
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    edges, _stats = metablock_wnp(
+        doc_gram_blocks(docs), max_block_size=max_block_size
+    )
+    return edges.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "w"]),
+        batch_format="pyarrow",
+    )

@@ -103,3 +103,65 @@ def test_join_path_parity():
 def test_empty_and_singleton_blocks():
     got, stats = _run([(1, 10), (2, 20), (3, 30)], max_block_size=64)
     assert got == {} and stats["edges_total"] == 0
+
+
+def _brute_wnp(blocks, max_block_size):
+    """Reciprocal weighted node pruning reference."""
+    per_block = Counter(b for _, b in blocks)
+    kept_blocks = {b for b, c in per_block.items()
+                   if 2 <= c <= max_block_size}
+    w = Counter()
+    for b in kept_blocks:
+        ids = sorted({e for e, bb in blocks if bb == b})
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                w[(ids[i], ids[j])] += 1
+    deg, s = Counter(), Counter()
+    for (a, b), c in w.items():
+        deg[a] += 1
+        deg[b] += 1
+        s[a] += c
+        s[b] += c
+    return {p: c for p, c in w.items()
+            if c * deg[p[0]] >= s[p[0]] and c * deg[p[1]] >= s[p[1]]}
+
+
+def _run_wnp(blocks, max_block_size, **kw):
+    import pyarrow as pa_
+    from session_graph_ray.ops.metablock import metablock_wnp
+
+    ds = rd.from_arrow(pa_.table({
+        "eid": pa_.array([e for e, _ in blocks], pa_.int64()),
+        "bkey": pa_.array([b for _, b in blocks], pa_.int64()),
+    }))
+    edges, stats = metablock_wnp(ds, max_block_size=max_block_size, **kw)
+    df = edges.to_pandas()
+    if len(df) == 0:
+        return {}, stats
+    return {(a, b): w for a, b, w in
+            zip(df["id_a"], df["id_b"], df["w"])}, stats
+
+
+def test_wnp_brute_force_parity():
+    for seed in (4, 5):
+        blocks = _random_blocks(seed)
+        for mx in (5, 40):
+            got, _ = _run_wnp(blocks, mx)
+            assert got == _brute_wnp(blocks, mx), f"seed={seed} mx={mx}"
+
+
+def test_wnp_join_path_parity():
+    blocks = _random_blocks(11)
+    a, _ = _run_wnp(blocks, 10)
+    b, _ = _run_wnp(blocks, 10, size_broadcast_max=0)
+    assert a == b
+
+
+def test_wnp_reciprocal_requires_both_endpoints():
+    # star: hub 1 has edges w=3 to node 2 and w=1 to nodes 3,4.
+    # hub mean = 5/3 -> only (1,2) clears the hub; node 2's mean = 3.
+    # (1,2) survives reciprocally; (1,3),(1,4) fail at the hub.
+    blocks = ([(1, b) for b in (10, 11, 12)] + [(2, b) for b in (10, 11, 12)]
+              + [(3, 20), (1, 20), (4, 21), (1, 21)])
+    got, _ = _run_wnp(blocks, 64)
+    assert got == {(1, 2): 3}
