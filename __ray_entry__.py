@@ -625,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setsim_pairs": A.q_setsim_pairs,
         "metablock_edges": A.q_metablock_edges,
         "metablock_wnp_edges": A.q_metablock_wnp_edges,
+        "setsim_incremental": A.q_setsim_incremental,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -2151,6 +2152,37 @@ def oracle_sql() -> dict[str, str]:
             stats AS (SELECT SUM(w) AS s, COUNT(*) AS n FROM pairs)
             SELECT a AS doc_a, b AS doc_b, CAST(w AS BIGINT) AS w
             FROM pairs, stats WHERE w*n >= s
+        """,
+        # incremental setsim fold-in: the newest 20% of doc ids are the
+        # delta; output = batch join restricted to delta-touching pairs.
+        # The split replays the engine's integer arithmetic:
+        # split = lo + (hi-lo)*4//5 + 1.
+        "setsim_incremental": r"""
+            WITH bounds AS (
+              SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+            ),
+            sp AS (SELECT lo + (hi - lo) * 4 // 5 + 1 AS s FROM bounds),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '[^\pL\pN_]+'),
+                         x -> x <> '') AS t
+              FROM documents
+            ),
+            occ AS (SELECT DISTINCT doc_id, u.tok FROM toks, UNNEST(t) AS u(tok)),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM occ GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+              FROM occ x JOIN occ y ON x.tok = y.tok AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a AS doc_a, b AS doc_b,
+                   CAST((2000000*i + (ca.n + cb.n - i))
+                        // (2*(ca.n + cb.n - i)) AS BIGINT) AS jacc_u
+            FROM inter JOIN cnt ca ON ca.doc_id = a
+                       JOIN cnt cb ON cb.doc_id = b, sp
+            WHERE 1000000*i >= 600000*(ca.n + cb.n - i)
+              AND (a >= sp.s OR b >= sp.s)
         """,
         # reciprocal weighted NODE pruning (metablock_wnp): keep an edge
         # iff w*deg(v) >= sum_w(v) at BOTH endpoints — integer-exact.

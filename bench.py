@@ -170,6 +170,9 @@ def run_bench(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
     timed("doc_bigram_lm", lambda: A.q_doc_bigram_lm(sf_dir).materialize())
     timed("doc_triangles", lambda: A.q_doc_triangles(sf_dir).materialize())
     timed("source_kl", lambda: A.q_source_kl(sf_dir).materialize())
+    timed("metablock_edges",
+          lambda: A.q_metablock_edges(sf_dir).materialize())
+    timed("setsim_pairs", lambda: A.q_setsim_pairs(sf_dir).materialize())
 
     headline = timings.get("er_pipeline", sum(timings.values()))
     return {

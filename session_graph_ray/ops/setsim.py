@@ -654,11 +654,22 @@ def setsim_join(
     num_buckets: int = 256,
     group_cap: int = 4096,
     df_broadcast_max: int = DF_BROADCAST_MAX,
+    new_min_doc_id: int | None = None,
 ) -> "rd.Dataset":
     """All pairs (doc_a < doc_b, jacc_u) with distinct-token Jaccard >=
     ``threshold`` — exact. ``jacc_u`` is Jaccard in micro-units, rounded
     half-up with pure integer arithmetic (oracle-replayable). Truncation
     metric rows carry ``doc_a = -1`` (see ``split_setsim_metric_rows``).
+
+    **Incremental fold-in**: with ``new_min_doc_id`` set, docs with
+    id >= it are the delta and only pairs touching the delta are
+    returned — exactly ``setsim_join(union)`` restricted to those pairs
+    (the idempotent-reprocessing contract, SURVEY.md §2.9 D3). The
+    prefix-filter lemma guarantees any matching pair shares a token
+    inside the NEW doc's prefix, so the exchange only processes the
+    delta's prefix-token runs (a delta-sized fraction of the corpus);
+    the df census still covers the full union, so prefix lengths — and
+    therefore results — are identical to the batch run.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
@@ -750,6 +761,46 @@ def setsim_join(
             ]).empty_table(),
         )
 
+    if new_min_doc_id is not None:
+        # delta-only run restriction: keep only records in runs of the
+        # delta's prefix tokens (old-old candidates inside those runs are
+        # filtered from the OUTPUT below — cheap, and the run skip is the
+        # structural saving). Distinct delta prefix tokens ride the
+        # size-gated semi-join machinery.
+        from .spandedup import _bucketed_value_counts
+
+        split = pa.scalar(int(new_min_doc_id))
+        new_recs = records.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["doc_id"], split)),
+            batch_format="pyarrow",
+        )
+        new_pts = _bucketed_value_counts(
+            new_recs, "pt", "pt", None, min_count=1,
+            num_buckets=num_buckets,
+        ).materialize()
+        if new_pts.count() <= df_broadcast_max:
+            npdf = new_pts.to_pandas()
+            parr = (np.sort(npdf["pt"].to_numpy(np.int64))
+                    if len(npdf) else np.empty(0, np.int64))
+            pref = ray.put(parr)
+
+            def run_filter(t: pa.Table) -> pa.Table:
+                want = ray.get(pref)
+                pts = t.column("pt").to_numpy(zero_copy_only=False)
+                if want.size:
+                    pos = np.clip(np.searchsorted(want, pts),
+                                  0, want.size - 1)
+                    hit = want[pos] == pts
+                else:
+                    hit = np.zeros(pts.size, bool)
+                return t.filter(pa.array(hit))
+
+            records = records.map_batches(run_filter,
+                                          batch_format="pyarrow")
+        # else: delta prefix vocabulary itself exceeds the broadcast gate
+        # — the "delta" is corpus-sized, so the batch plan (all runs) is
+        # the right cost model; the output filter below still applies.
+
     def pt_bucket(t: pa.Table) -> np.ndarray:
         # pt is an int64 VIEW of a uint64 hash: half the values are
         # negative, and the exchange clips negative buckets to partition 0
@@ -761,4 +812,16 @@ def setsim_join(
         records, _pairs_kernel(tau_u, group_cap), None, num_buckets,
         _TAGGED_SCHEMA.empty_table(), bucket_fn=pt_bucket,
     )
-    return _expand_profiles(_dedup_tagged(raw, num_buckets), num_buckets)
+    out = _expand_profiles(_dedup_tagged(raw, num_buckets), num_buckets)
+    if new_min_doc_id is None:
+        return out
+
+    def delta_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.schema.names:
+            return _PAIR_SCHEMA.empty_table()
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        keep = (a < 0) | (a >= new_min_doc_id) | (b >= new_min_doc_id)
+        return t.filter(pa.array(keep))
+
+    return out.map_batches(delta_only, batch_format="pyarrow")

@@ -4003,3 +4003,27 @@ def q_metablock_wnp_edges(sf_dir: str, max_block_size: int = 64) -> "rd.Dataset"
         lambda t: t.rename_columns(["doc_a", "doc_b", "w"]),
         batch_format="pyarrow",
     )
+
+
+def q_setsim_incremental(sf_dir: str, tau: float = 0.6) -> "rd.Dataset":
+    """Incremental fold-in of the exact set-similarity join: the newest
+    20%% of documents (by doc_id) are the delta; output is every pair of
+    the FULL corpus touching the delta — identical values to the batch
+    join restricted to those pairs (idempotent-reprocessing contract).
+    Only the delta's prefix-token runs are exchanged."""
+    from ..ops.setsim import setsim_join
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hi = docs.max("doc_id")
+    lo = docs.min("doc_id")
+    split = int(lo + (hi - lo) * 4 // 5) + 1
+    pairs = setsim_join(docs, tau, new_min_doc_id=split)
+
+    def drop_metric(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.schema.names:
+            from ..ops.setsim import _PAIR_SCHEMA
+
+            return _PAIR_SCHEMA.empty_table()
+        return t.filter(pc.greater_equal(t["doc_a"], pa.scalar(0)))
+
+    return pairs.map_batches(drop_metric, batch_format="pyarrow")

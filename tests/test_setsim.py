@@ -137,3 +137,31 @@ def test_length_filter_blocks_size_mismatch():
     texts = {1: "a b c", 2: "a b c d e f g h i j"}
     got, _ = _run(texts, 0.5)
     assert got == set()
+
+
+def test_incremental_equals_batch_restriction():
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(30)]
+    base = rng.choice(vocab, size=10, replace=False)
+    texts = {}
+    for i in range(50):
+        if i % 2 == 0:
+            words = list(base)
+            for _ in range(rng.integers(0, 3)):
+                words[rng.integers(len(words))] = vocab[rng.integers(30)]
+        else:
+            words = list(rng.choice(vocab, size=rng.integers(3, 12)))
+        texts[i] = " ".join(words)
+    split = 40  # docs 40..49 are the delta
+    batch, _ = _run(texts, 0.6)
+    want = {(a, b, j) for a, b, j in batch if a >= split or b >= split}
+    got, dropped = _run(texts, 0.6, new_min_doc_id=split)
+    assert dropped == 0
+    assert got == want
+    assert len(want) < len(batch)  # restriction is real
+
+
+def test_incremental_empty_delta():
+    texts = {i: "alpha beta gamma" for i in range(10)}
+    got, dropped = _run(texts, 0.6, new_min_doc_id=100)
+    assert got == set() and dropped == 0
