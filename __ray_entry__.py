@@ -626,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metablock_edges": A.q_metablock_edges,
         "metablock_wnp_edges": A.q_metablock_wnp_edges,
         "setsim_incremental": A.q_setsim_incremental,
+        "canopy_assign": A.q_canopy_assign,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -2152,6 +2153,73 @@ def oracle_sql() -> dict[str, str]:
             stats AS (SELECT SUM(w) AS s, COUNT(*) AS n FROM pairs)
             SELECT a AS doc_a, b AS doc_b, CAST(w AS BIGINT) AS w
             FROM pairs, stats WHERE w*n >= s
+        """,
+        # canopy clustering (ops/canopy.py): the ascending-doc_id greedy
+        # center fold replayed as a linear recursive CTE (MATERIALIZED
+        # CTEs keep DuckDB from re-running the join chain per step);
+        # integer-exact thresholds t_tight=0.8, t_loose=0.5.
+        "canopy_assign": r"""
+            WITH RECURSIVE
+            toks AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '[^\pL\pN_]+'),
+                         x -> x <> '') AS t
+              FROM documents
+            ),
+            occ AS MATERIALIZED (
+              SELECT DISTINCT doc_id, u.tok FROM toks, UNNEST(t) AS u(tok)
+            ),
+            cnt AS MATERIALIZED (
+              SELECT doc_id, COUNT(*) AS n FROM occ GROUP BY doc_id
+            ),
+            docs_o AS MATERIALIZED (
+              SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+              FROM cnt
+            ),
+            jm AS MATERIALIZED (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+              FROM occ x JOIN occ y
+                ON x.tok = y.tok AND x.doc_id <> y.doc_id
+              GROUP BY 1, 2
+            ),
+            jmu AS MATERIALIZED (
+              SELECT a, b, i, ca.n + cb.n - i AS u
+              FROM jm JOIN cnt ca ON ca.doc_id = a
+                      JOIN cnt cb ON cb.doc_id = b
+            ),
+            tp AS MATERIALIZED (
+              SELECT b AS doc_id, list(a ORDER BY a) AS prior
+              FROM jmu WHERE a < b AND 1000000*i >= 800000*u
+              GROUP BY b
+            ),
+            seq AS MATERIALIZED (
+              SELECT d.doc_id, d.rn,
+                     coalesce(tp.prior, CAST([] AS BIGINT[])) AS prior
+              FROM docs_o d LEFT JOIN tp ON tp.doc_id = d.doc_id
+            ),
+            greedy AS (
+              SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS centers
+              UNION ALL
+              SELECT s.rn,
+                     CASE WHEN len(list_intersect(s.prior, g.centers)) = 0
+                          THEN list_append(g.centers, s.doc_id)
+                          ELSE g.centers END
+              FROM greedy g JOIN seq s ON s.rn = g.rn + 1
+            ),
+            cset AS (
+              SELECT UNNEST(centers) AS c
+              FROM greedy WHERE rn = (SELECT MAX(rn) FROM greedy)
+            )
+            SELECT doc_id, canopy_id, jacc_u FROM (
+              SELECT m.a AS doc_id, m.b AS canopy_id,
+                     CAST((2000000*m.i + m.u) // (2*m.u) AS BIGINT) AS jacc_u
+              FROM jmu m JOIN cset ON cset.c = m.b
+              WHERE 1000000*m.i >= 500000*m.u
+              UNION ALL
+              SELECT c AS doc_id, c AS canopy_id, CAST(1000000 AS BIGINT)
+              FROM cset
+            )
         """,
         # incremental setsim fold-in: the newest 20% of doc ids are the
         # delta; output = batch join restricted to delta-touching pairs.

@@ -4027,3 +4027,20 @@ def q_setsim_incremental(sf_dir: str, tau: float = 0.6) -> "rd.Dataset":
         return t.filter(pc.greater_equal(t["doc_a"], pa.scalar(0)))
 
     return pairs.map_batches(drop_metric, batch_format="pyarrow")
+
+
+def q_canopy_assign(sf_dir: str, t_loose: float = 0.5,
+                    t_tight: float = 0.8) -> "rd.Dataset":
+    """Canopy clustering (``ops/canopy.py``, McCallum et al. KDD'00):
+    greedy T-tight-separated centers in ascending doc_id, then every doc
+    joins each center's canopy at token-Jaccard >= t_loose. Pinned to
+    ``num_partitions=1`` so the single-level greedy is replayable as a
+    recursive-CTE fold in the oracle; the distributed two-level path is
+    pytest-pinned (``tests/test_canopy.py``)."""
+    from ..ops.canopy import canopy_assign
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    assigned, _stats = canopy_assign(
+        docs, t_loose, t_tight, num_partitions=1
+    )
+    return assigned
