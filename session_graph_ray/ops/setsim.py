@@ -655,6 +655,8 @@ def setsim_join(
     group_cap: int = 4096,
     df_broadcast_max: int = DF_BROADCAST_MAX,
     new_min_doc_id: int | None = None,
+    tile_target: int = 4096,
+    tile_max: int = 6,
 ) -> "rd.Dataset":
     """All pairs (doc_a < doc_b, jacc_u) with distinct-token Jaccard >=
     ``threshold`` — exact. ``jacc_u`` is Jaccard in micro-units, rounded
@@ -801,12 +803,103 @@ def setsim_join(
         # — the "delta" is corpus-sized, so the batch plan (all runs) is
         # the right cost model; the output filter below still applies.
 
-    def pt_bucket(t: pa.Table) -> np.ndarray:
-        # pt is an int64 VIEW of a uint64 hash: half the values are
-        # negative, and the exchange clips negative buckets to partition 0
-        # (sentinel-row convention) — bucket on the uint64 bits instead
-        pt = t.column("pt").to_numpy(zero_copy_only=False)
-        return (pt.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+    # ---- hot-run tiling -------------------------------------------
+    # Prefix-token runs are as skewed as the vocabulary is small (a
+    # template-heavy corpus can have a handful of tokens owning most
+    # records), and a run must see all its profiles together — so a hot
+    # run is REPLICATED instead of split: its profiles hash into T
+    # chunks and every chunk pair (i <= j) becomes an independent exact
+    # sub-task (the 1-bucket-theta tiling). Each record is copied T
+    # times; cross-tile duplicate discoveries are absorbed by the
+    # existing global (kind, a, b) dedup, so correctness is untouched.
+    # With tiling engaged the group cap applies per tile.
+    rc = _bucketed_value_counts(
+        records.map_batches(
+            lambda t: (t.select(["pt"]) if t.num_rows else
+                       pa.table({"pt": pa.array([], pa.int64())})),
+            batch_format="pyarrow",
+        ),
+        "pt", "pt", "rc", min_count=1, num_buckets=num_buckets,
+    ).materialize()
+    rdf = rc.to_pandas()
+    hot_mask = (rdf["rc"].to_numpy() > tile_target) if len(rdf) else (
+        np.zeros(0, bool)
+    )
+    if hot_mask.any():
+        h_pt = rdf["pt"].to_numpy(np.int64)[hot_mask]
+        h_T = np.minimum(
+            -(-rdf["rc"].to_numpy(np.int64)[hot_mask] // tile_target),
+            tile_max,
+        )
+        horder = np.argsort(h_pt)
+        h_pt, h_T = h_pt[horder], h_T[horder]
+        tref = ray.put((h_pt, h_T))
+
+        def tile_map(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("tile",
+                                       pa.array([], pa.int64()))
+            hp, hT = ray.get(tref)
+            pts = t.column("pt").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(hp, pts), 0, max(hp.size - 1, 0))
+            is_hot = (hp[pos] == pts) if hp.size else np.zeros(
+                pts.size, bool
+            )
+            T_row = np.where(is_hot, hT[pos] if hp.size else 0, 1)
+            # profile chunk id: same (k, set-hash, n) => same chunk, so
+            # tiles hold complete profiles
+            toks = t.column("toks")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.values.to_numpy(zero_copy_only=False)
+            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            with np.errstate(over="ignore"):
+                csum = np.zeros(flat.size + 1, np.uint64)
+                np.cumsum(flat, dtype=np.uint64, out=csum[1:])
+                sig = ((csum[offs[1:]] - csum[offs[:-1]])
+                       ^ (t.column("n").to_numpy(zero_copy_only=False)
+                          .astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+            out_rows: list[np.ndarray] = []
+            out_tiles: list[np.ndarray] = []
+            for Tv in np.unique(T_row):
+                sel = np.flatnonzero(T_row == Tv)
+                if Tv <= 1:
+                    out_rows.append(sel)
+                    out_tiles.append(np.zeros(sel.size, np.int64))
+                    continue
+                c = (sig[sel] % np.uint64(Tv)).astype(np.int64)
+                # tiles containing chunk c: (min(c,k), max(c,k)) for all k
+                k = np.tile(np.arange(Tv, dtype=np.int64), sel.size)
+                cc = np.repeat(c, Tv)
+                ti = np.minimum(cc, k) * tile_max + np.maximum(cc, k)
+                out_rows.append(np.repeat(sel, Tv))
+                out_tiles.append(ti)
+            rows_idx = np.concatenate(out_rows)
+            tiles = np.concatenate(out_tiles)
+            return t.take(pa.array(rows_idx)).append_column(
+                "tile", pa.array(tiles)
+            )
+
+        records = records.map_batches(tile_map, batch_format="pyarrow")
+
+        def pt_bucket(t: pa.Table) -> np.ndarray:
+            pt = t.column("pt").to_numpy(zero_copy_only=False)
+            tile = t.column("tile").to_numpy(zero_copy_only=False)
+            mixed = (pt.view(np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                tile.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+            )
+            return (mixed % np.uint64(num_buckets)).astype(np.int64)
+    else:
+        def pt_bucket(t: pa.Table) -> np.ndarray:
+            # pt is an int64 VIEW of a uint64 hash: half the values are
+            # negative, and the exchange clips negative buckets to
+            # partition 0 (sentinel convention) — bucket on uint64 bits
+            pt = t.column("pt").to_numpy(zero_copy_only=False)
+            return (pt.view(np.uint64)
+                    % np.uint64(num_buckets)).astype(np.int64)
 
     raw = exchange_map_groups(
         records, _pairs_kernel(tau_u, group_cap), None, num_buckets,

@@ -165,3 +165,20 @@ def test_incremental_empty_delta():
     texts = {i: "alpha beta gamma" for i in range(10)}
     got, dropped = _run(texts, 0.6, new_min_doc_id=100)
     assert got == set() and dropped == 0
+
+
+def test_tiling_parity():
+    # force tiling on (tiny tile_target): replicated chunk-pair tiles
+    # must produce the identical pair set
+    texts = {}
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(20)]
+    base = list(rng.choice(vocab, size=8, replace=False))
+    for i in range(60):
+        words = list(base)
+        for _ in range(rng.integers(0, 3)):
+            words[rng.integers(len(words))] = vocab[rng.integers(20)]
+        texts[i] = " ".join(words)
+    a, da = _run(texts, 0.6)
+    b, db = _run(texts, 0.6, tile_target=4, tile_max=4)
+    assert a == b and da == db == 0
