@@ -627,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metablock_wnp_edges": A.q_metablock_wnp_edges,
         "setsim_incremental": A.q_setsim_incremental,
         "canopy_assign": A.q_canopy_assign,
+        "cluster_bcubed": A.q_cluster_bcubed,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -1972,6 +1973,41 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE CAST(0 AS DOUBLE) END
                               * 1000000 + 0.5) AS BIGINT) AS ari_u6
             FROM m3
+        """,
+        # B-cubed (ops/clustereval.bcubed_eval): per-cell integer floor
+        # contributions (1e6*m^2)//n_side, order-free sums, half-up global
+        # average, floor F1 — replayed literally.
+        "cluster_bcubed": f"""
+            WITH pred AS ({_near_dedup_oracle()}),
+            gold AS (SELECT doc_id,
+                            MIN(doc_id) OVER (PARTITION BY text) AS g
+                     FROM documents),
+            j AS (SELECT pred.canonical_doc_id AS p, gold.g AS g
+                  FROM pred JOIN gold ON gold.doc_id = pred.doc_id),
+            cells AS (SELECT p, g, COUNT(*) AS c FROM j GROUP BY p, g),
+            psz AS (SELECT p, SUM(c) AS np FROM cells GROUP BY p),
+            gsz AS (SELECT g, SUM(c) AS ng FROM cells GROUP BY g),
+            agg AS (SELECT
+                (SELECT COUNT(*) FROM j) AS n,
+                (SELECT COUNT(*) FROM cells) AS ncells,
+                (SELECT COALESCE(SUM((1000000 * c * c) // np), 0)
+                 FROM cells JOIN psz USING (p)) AS sp,
+                (SELECT COALESCE(SUM((1000000 * c * c) // ng), 0)
+                 FROM cells JOIN gsz USING (g)) AS sr),
+            pr AS (SELECT n, ncells,
+                          CASE WHEN n = 0 THEN 0
+                               ELSE (2 * sp + n) // (2 * n) END AS pu,
+                          CASE WHEN n = 0 THEN 0
+                               ELSE (2 * sr + n) // (2 * n) END AS ru
+                   FROM agg)
+            SELECT CAST(n AS BIGINT) AS n_items,
+                   CAST(ncells AS BIGINT) AS n_cells,
+                   CAST(pu AS BIGINT) AS bcubed_precision_u6,
+                   CAST(ru AS BIGINT) AS bcubed_recall_u6,
+                   CAST(CASE WHEN pu + ru = 0 THEN 0
+                             ELSE (2 * pu * ru) // (pu + ru) END
+                        AS BIGINT) AS bcubed_f1_u6
+            FROM pr
         """,
         "snm_pairs": """
             WITH r AS (

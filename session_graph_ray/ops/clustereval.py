@@ -134,6 +134,107 @@ def pairwise_cluster_eval(
     )
 
 
+def bcubed_eval(
+    items: "ray.data.Dataset",
+    pred_col: str,
+    gold_col: str,
+    num_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """B-cubed precision / recall / F1 (Bagga & Baldwin 1998) — the
+    item-averaged ER clustering metric, one exact-integer row.
+
+    Definition used (integer-exact, oracle-replayable): each contingency
+    cell (p, g, m = |cell|) contributes ``(1e6 * m * m) // n_p`` to the
+    precision sum and ``(1e6 * m * m) // n_g`` to the recall sum (floor
+    division PER CELL, the ops/pagerank.py integer-contribution idiom, so
+    summation is order-free); then
+
+        bcubed_precision_u6 = (2 * sumP + N) // (2 * N)   (half-up)
+        bcubed_recall_u6    = (2 * sumR + N) // (2 * N)
+        bcubed_f1_u6        = (2 * P * R) // (P + R)      (floor)
+
+    Distributed shape: one packed-cell census (the bucketed ``np.unique``
+    kernel), then the CELLS table — at most one row per item — exchanges
+    twice (grouped by pred label, then by gold label); each kernel call
+    emits one partial-sum row, so the driver sees O(buckets) integers.
+    No broadcast, no per-group Python aggregate.
+    """
+    from .exchange import exchange_map_groups
+
+    def project(t: pa.Table) -> pa.Table:
+        p = _pack_check(
+            t.column(pred_col).to_numpy(zero_copy_only=False), "pred")
+        g = _pack_check(
+            t.column(gold_col).to_numpy(zero_copy_only=False), "gold")
+        return pa.table(
+            {"cell": pa.array((p << np.uint64(32)) | (g & _U32),
+                              pa.uint64())}
+        )
+
+    proj = items.select_columns([pred_col, gold_col]).map_batches(
+        project, batch_format="pyarrow"
+    ).materialize()
+    n = proj.count()
+
+    cells = _bucketed_value_counts(
+        proj, "cell", out_val="cell", out_cnt="m",
+        num_buckets=num_buckets,
+    ).materialize()
+
+    empty = pa.table({"s": pa.array([], pa.int64())})
+
+    def side_sum(shift: int) -> int:
+        """sum over cells of (1e6*m^2) // n_side, side = cell >> shift
+        (shift 32 = pred) or cell & U32 (shift 0 = gold)."""
+
+        def side_of(c: np.ndarray) -> np.ndarray:
+            return (c >> np.uint64(32)) if shift else (c & _U32)
+
+        def bucket_fn(t: pa.Table) -> np.ndarray:
+            c = t.column("cell").to_numpy(zero_copy_only=False)
+            return (side_of(c) % np.uint64(num_buckets)).astype(np.int64)
+
+        def kern(g: pa.Table) -> pa.Table:
+            c = g.column("cell").to_numpy(zero_copy_only=False)
+            m = g.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+            s = side_of(c)
+            order = np.argsort(s, kind="stable")
+            s_s, m_s = s[order], m[order]
+            starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+            n_side = np.add.reduceat(m_s, starts)
+            n_rep = np.repeat(n_side, np.diff(np.r_[starts, s_s.size]))
+            contrib = (1_000_000 * m_s * m_s) // n_rep
+            return pa.table({"s": pa.array([int(contrib.sum())], pa.int64())})
+
+        parts = exchange_map_groups(
+            cells, kern, None, num_buckets, empty, bucket_fn=bucket_fn
+        )
+        total = 0
+        for b in parts.iter_batches(batch_format="pandas"):
+            if len(b):
+                total += int(b["s"].sum())
+        return total
+
+    sum_p = side_sum(32)
+    sum_r = side_sum(0)
+    p_u6 = (2 * sum_p + n) // (2 * n) if n else 0
+    r_u6 = (2 * sum_r + n) // (2 * n) if n else 0
+    f1_u6 = (2 * p_u6 * r_u6) // (p_u6 + r_u6) if (p_u6 + r_u6) else 0
+
+    n_cells = cells.count()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_items": pa.array([n], pa.int64()),
+                "n_cells": pa.array([n_cells], pa.int64()),
+                "bcubed_precision_u6": pa.array([p_u6], pa.int64()),
+                "bcubed_recall_u6": pa.array([r_u6], pa.int64()),
+                "bcubed_f1_u6": pa.array([f1_u6], pa.int64()),
+            }
+        )
+    )
+
+
 def exact_assignments(
     docs: "ray.data.Dataset",
     id_col: str = "doc_id",
@@ -198,4 +299,4 @@ def exact_assignments(
                                bucket_fn=bucket_fn)
 
 
-__all__ = ["pairwise_cluster_eval", "exact_assignments"]
+__all__ = ["pairwise_cluster_eval", "bcubed_eval", "exact_assignments"]

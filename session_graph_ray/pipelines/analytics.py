@@ -4044,3 +4044,24 @@ def q_canopy_assign(sf_dir: str, t_loose: float = 0.5,
         docs, t_loose, t_tight, num_partitions=1
     )
     return assigned
+
+
+def q_cluster_bcubed(sf_dir: str) -> "rd.Dataset":
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998;
+    ``ops/clustereval.bcubed_eval``): the near-dedup clustering of
+    documents scored item-averaged against exact-content gold groups —
+    the standard ER clustering metric beside the pairwise scorecard.
+    Integer-exact: per-cell floor-divided contributions, order-free
+    sums, so the oracle replays it bit-for-bit."""
+    from ..ops.clustereval import bcubed_eval, exact_assignments
+    from ..ops.dedup import near_dedup_assignments
+    from ..ops.join import hash_join
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pred = near_dedup_assignments(docs, threshold=0.8)
+    gold = exact_assignments(docs).map_batches(
+        lambda t: t.rename_columns(["doc_id", "gold"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(pred, gold, on="doc_id")
+    return bcubed_eval(joined, "canonical_doc_id", "gold")

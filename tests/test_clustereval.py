@@ -94,3 +94,53 @@ def test_exact_assignments_labels_every_row():
     ).repartition(3)
     got = exact_assignments(ds).to_pandas().sort_values("doc_id")
     assert got["canonical"].tolist() == [10, 11, 10, 13, 11, 10]
+
+
+def _brute_bcubed(pred, gold):
+    from collections import Counter
+
+    n = len(pred)
+    cells = Counter(zip(pred, gold))
+    n_p = Counter(pred)
+    n_g = Counter(gold)
+    sp = sum((1_000_000 * c * c) // n_p[p] for (p, g), c in cells.items())
+    sr = sum((1_000_000 * c * c) // n_g[g] for (p, g), c in cells.items())
+    pu = (2 * sp + n) // (2 * n) if n else 0
+    ru = (2 * sr + n) // (2 * n) if n else 0
+    f1 = (2 * pu * ru) // (pu + ru) if (pu + ru) else 0
+    return {"n_items": n, "n_cells": len(cells),
+            "bcubed_precision_u6": pu, "bcubed_recall_u6": ru,
+            "bcubed_f1_u6": f1}
+
+
+def _run_bcubed(pred, gold, blocks=5):
+    from session_graph_ray.ops.clustereval import bcubed_eval
+
+    ds = ray.data.from_arrow(
+        pa.table({"p": pa.array(pred, pa.int64()),
+                  "g": pa.array(gold, pa.int64())})
+    ).repartition(blocks)
+    return bcubed_eval(ds, "p", "g").to_pandas().iloc[0].to_dict()
+
+
+def test_bcubed_matches_bruteforce():
+    rng = np.random.default_rng(31)
+    for trial in range(4):
+        n = int(rng.integers(20, 200))
+        pred = rng.integers(0, max(2, n // 6), size=n).tolist()
+        gold = rng.integers(0, max(2, n // 4), size=n).tolist()
+        got = _run_bcubed(pred, gold)
+        want = _brute_bcubed(pred, gold)
+        assert {k: int(got[k]) for k in want} == want, f"trial={trial}"
+
+
+def test_bcubed_perfect_and_degenerate():
+    # identical clusterings -> P = R = F1 = 1.0 (modulo floor quanta)
+    got = _run_bcubed([1, 1, 2, 2, 3], [7, 7, 8, 8, 9])
+    assert got["bcubed_precision_u6"] == 1_000_000
+    assert got["bcubed_recall_u6"] == 1_000_000
+    assert got["bcubed_f1_u6"] == 1_000_000
+    # all-singleton pred vs one gold cluster: P = 1, R = 1/n
+    got = _run_bcubed([1, 2, 3, 4], [0, 0, 0, 0])
+    assert got["bcubed_precision_u6"] == 1_000_000
+    assert got["bcubed_recall_u6"] == 250_000
