@@ -628,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setsim_incremental": A.q_setsim_incremental,
         "canopy_assign": A.q_canopy_assign,
         "cluster_bcubed": A.q_cluster_bcubed,
+        "vocab_edit2_pairs": A.q_vocab_edit2_pairs,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -3526,6 +3527,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         # edit-distance-1 vocabulary pairs (FastSS blocking is exact, so
         # the levenshtein self-join is the full truth, not a sample)
+        # PassJoin (ops/passjoin.py): exact ed<=2 join; codepoint
+        # semantics match DuckDB levenshtein
+        "vocab_edit2_pairs": r"""
+            WITH base AS (
+              SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents
+            ),
+            f1 AS (
+              SELECT regexp_extract(text, '\S+') AS tok
+              FROM documents
+              WHERE doc_id % 4 = 0 AND regexp_extract(text, '\S+') <> ''
+            ),
+            f2 AS (
+              SELECT regexp_extract(text, '\S+') AS tok
+              FROM documents
+              WHERE doc_id % 6 = 0 AND length(regexp_extract(text, '\S+')) >= 2
+            ),
+            planted AS (
+              SELECT 'x' || substr(tok, 2) AS tok FROM f1
+              UNION ALL
+              SELECT 'xy' || substr(tok, 3) AS tok FROM f2
+            ),
+            v AS (SELECT DISTINCT tok
+                  FROM (SELECT tok FROM base
+                        UNION ALL SELECT tok FROM planted))
+            SELECT a.tok AS token_a, b.tok AS token_b,
+                   CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+            FROM v a JOIN v b
+              ON a.tok < b.tok
+             AND levenshtein(a.tok, b.tok) BETWEEN 1 AND 2
+        """,
         "vocab_edit1_pairs": r"""
             WITH base AS (
               SELECT unnest(regexp_extract_all(text, '\S+')) AS tok

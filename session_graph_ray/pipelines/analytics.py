@@ -4065,3 +4065,40 @@ def q_cluster_bcubed(sf_dir: str) -> "rd.Dataset":
     )
     joined = hash_join(pred, gold, on="doc_id")
     return bcubed_eval(joined, "canonical_doc_id", "gold")
+
+
+def q_vocab_edit2_pairs(sf_dir: str) -> "rd.Dataset":
+    """Edit-distance <= 2 spelling-variant discovery over the corpus
+    vocabulary (``ops/passjoin.edit_pairs_k``, PassJoin VLDB'11 — exact
+    segment blocking, zero recall loss). Every 4th doc plants a dist-1
+    typo of its first token ('x' + w[1:]) and every 6th doc a dist-2
+    typo ('xy' + w[2:]); the oracle self-joins the same vocabulary with
+    DuckDB's levenshtein() BETWEEN 1 AND 2."""
+    from ..ops.passjoin import edit_pairs_k
+    from ..ops.wordcount import _flat_tokens
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        flat, lengths = _flat_tokens(t.column("text"))
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.cumsum(lengths) - lengths
+        has1 = (lengths > 0) & (d % 4 == 0)
+        has2 = (lengths > 0) & (d % 6 == 0)
+        f1 = flat.take(pa.array(starts[has1])).to_pylist()
+        f2 = flat.take(pa.array(starts[has2])).to_pylist()
+        typos = (["x" + w[1:] for w in f1]
+                 + ["xy" + w[2:] for w in f2 if len(w) >= 2])
+        base = (flat.combine_chunks()
+                if isinstance(flat, pa.ChunkedArray) else flat)
+        return pa.table({"token": pa.concat_arrays(
+            [base, pa.array(typos, pa.string())])})
+
+    tokens = docs.map_batches(toks, batch_format="pyarrow",
+                              batch_size=8192)
+    pairs = edit_pairs_k(tokens, k=2)
+    return pairs.map_batches(
+        lambda t: t.filter(pc.not_equal(t["token_a"],
+                                        pa.scalar("__truncated__"))),
+        batch_format="pyarrow",
+    )
