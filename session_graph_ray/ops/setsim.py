@@ -820,15 +820,23 @@ def setsim_join(
             batch_format="pyarrow",
         ),
         "pt", "pt", "rc", min_count=1, num_buckets=num_buckets,
-    ).materialize()
-    rdf = rc.to_pandas()
-    hot_mask = (rdf["rc"].to_numpy() > tile_target) if len(rdf) else (
-        np.zeros(0, bool)
     )
-    if hot_mask.any():
-        h_pt = rdf["pt"].to_numpy(np.int64)[hot_mask]
+    # only HOT tokens (> tile_target records) reach the driver — the
+    # full census is O(vocabulary) at corpus scale, the hot set is the
+    # skew tail by definition
+    hot = rc.map_batches(
+        lambda t: (t.filter(pc.greater(t["rc"],
+                                       pa.scalar(int(tile_target))))
+                   if t.num_rows and "rc" in t.schema.names
+                   else pa.table({"pt": pa.array([], pa.int64()),
+                                  "rc": pa.array([], pa.int64())})),
+        batch_format="pyarrow",
+    ).materialize()
+    rdf = hot.to_pandas()
+    if len(rdf):
+        h_pt = rdf["pt"].to_numpy(np.int64)
         h_T = np.minimum(
-            -(-rdf["rc"].to_numpy(np.int64)[hot_mask] // tile_target),
+            -(-rdf["rc"].to_numpy(np.int64) // tile_target),
             tile_max,
         )
         horder = np.argsort(h_pt)
