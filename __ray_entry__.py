@@ -629,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canopy_assign": A.q_canopy_assign,
         "cluster_bcubed": A.q_cluster_bcubed,
         "vocab_edit2_pairs": A.q_vocab_edit2_pairs,
+        "center_clusters": A.q_center_clusters,
         # rows-only pipelines (non-SQL-expressible)
         "event_type_users_approx": A.q_event_type_users_approx,
         "event_value_quantiles_approx": A.q_event_value_quantiles_approx,
@@ -2190,6 +2191,76 @@ def oracle_sql() -> dict[str, str]:
             stats AS (SELECT SUM(w) AS s, COUNT(*) AS n FROM pairs)
             SELECT a AS doc_a, b AS doc_b, CAST(w AS BIGINT) AS w
             FROM pairs, stats WHERE w*n >= s
+        """,
+        # CENTER/star clustering (ops/center.py): centers = lexicographic-
+        # first MIS over the token-Jaccard>=0.6 graph (the setsim edge
+        # CTE), replayed as the canopy-style recursive greedy fold;
+        # non-centers join their MIN adjacent center.
+        "center_clusters": r"""
+            WITH RECURSIVE
+            toks AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '[^\pL\pN_]+'),
+                         x -> x <> '') AS t
+              FROM documents
+            ),
+            occ AS MATERIALIZED (
+              SELECT DISTINCT doc_id, u.tok FROM toks, UNNEST(t) AS u(tok)
+            ),
+            cnt AS MATERIALIZED (
+              SELECT doc_id, COUNT(*) AS n FROM occ GROUP BY doc_id
+            ),
+            inter AS MATERIALIZED (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+              FROM occ x JOIN occ y ON x.tok = y.tok AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            edges AS MATERIALIZED (
+              SELECT a, b
+              FROM inter JOIN cnt ca ON ca.doc_id = a
+                         JOIN cnt cb ON cb.doc_id = b
+              WHERE 1000000*i >= 600000*(ca.n + cb.n - i)
+            ),
+            docs_o AS MATERIALIZED (
+              SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            tp AS MATERIALIZED (
+              SELECT b AS doc_id, list(a ORDER BY a) AS prior
+              FROM edges GROUP BY b
+            ),
+            seq AS MATERIALIZED (
+              SELECT d.doc_id, d.rn,
+                     coalesce(tp.prior, CAST([] AS BIGINT[])) AS prior
+              FROM docs_o d LEFT JOIN tp ON tp.doc_id = d.doc_id
+            ),
+            greedy AS (
+              SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS centers
+              UNION ALL
+              SELECT s.rn,
+                     CASE WHEN len(list_intersect(s.prior, g.centers)) = 0
+                          THEN list_append(g.centers, s.doc_id)
+                          ELSE g.centers END
+              FROM greedy g JOIN seq s ON s.rn = g.rn + 1
+            ),
+            cset AS (
+              SELECT UNNEST(centers) AS c
+              FROM greedy WHERE rn = (SELECT MAX(rn) FROM greedy)
+            ),
+            sym AS (SELECT a, b FROM edges
+                    UNION ALL SELECT b AS a, a AS b FROM edges),
+            joinctr AS (
+              SELECT s.a AS doc_id, MIN(s.b) AS ctr
+              FROM sym s JOIN cset ON cset.c = s.b
+              GROUP BY s.a
+            )
+            SELECT d.doc_id,
+                   CASE WHEN cs.c IS NOT NULL THEN d.doc_id
+                        ELSE COALESCE(j.ctr, d.doc_id) END AS center_id
+            FROM documents d
+            LEFT JOIN cset cs ON cs.c = d.doc_id
+            LEFT JOIN joinctr j ON j.doc_id = d.doc_id
         """,
         # canopy clustering (ops/canopy.py): the ascending-doc_id greedy
         # center fold replayed as a linear recursive CTE (MATERIALIZED

@@ -4102,3 +4102,32 @@ def q_vocab_edit2_pairs(sf_dir: str) -> "rd.Dataset":
                                         pa.scalar("__truncated__"))),
         batch_format="pyarrow",
     )
+
+
+def q_center_clusters(sf_dir: str, tau: float = 0.6) -> "rd.Dataset":
+    """CENTER (star) clustering over the exact token-Jaccard >= tau
+    similarity graph (``ops/center.py``): the precision-favoring
+    alternative to transitive components — every member is DIRECTLY
+    similar to its cluster center. Centers are the lexicographically-
+    first MIS; the oracle replays the greedy fold as a recursive CTE
+    (canopy-oracle pattern) over the setsim edge CTE."""
+    from ..ops.center import center_clustering
+    from ..ops.setsim import setsim_join
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = setsim_join(docs, tau)
+
+    def strip(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.schema.names:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        keep = pc.greater_equal(t["doc_a"], pa.scalar(0))
+        return t.filter(keep).select(["doc_a", "doc_b"])
+
+    edges = pairs.map_batches(strip, batch_format="pyarrow")
+    out = center_clustering(edges, docs.select_columns(["doc_id"]),
+                            node_col="doc_id")
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_id", "center_id"]),
+        batch_format="pyarrow",
+    )
